@@ -1,0 +1,40 @@
+"""Stdout + file logging.
+
+Capability parity with the reference's `utils.log`/`set_save_path`
+(`/root/reference/utils.py:75-110`), plus standard `logging` integration.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Optional
+
+_LOG_FILE: Optional[str] = None
+
+
+def set_log_file(path: str) -> None:
+    global _LOG_FILE
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    _LOG_FILE = path
+
+
+def log(obj, filename: str = "log.txt") -> None:
+    """Print and append to the configured log file (if any)."""
+    print(obj, flush=True)
+    if _LOG_FILE is not None:
+        with open(_LOG_FILE, "a") as f:
+            print(obj, file=f)
+
+
+def get_logger(name: str = "camouflaged_vlm_tpu") -> logging.Logger:
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler(sys.stderr)
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+    return logger
