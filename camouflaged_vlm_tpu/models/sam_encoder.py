@@ -1,0 +1,271 @@
+"""SAM image encoder (ViTDet-style ViT) with the EVP prompt generator.
+
+Re-design of `/root/reference/models/mmseg/models/sam/image_encoder.py`
+(ImageEncoderViT :25-155, PromptGenerator :218-353, Block :383-446,
+Attention :449-504) for TPU:
+
+  * NHWC layout end to end — patch embed is a 16x16/stride-16 conv that XLA
+    maps straight onto the MXU; "LayerNorm2d" collapses to a last-axis norm.
+  * Windowed attention (14x14) runs as one batched attention over
+    B * 25 windows — no per-window loop.
+  * Global attention (4 blocks at 64x64 = 4096 tokens) uses the decomposed
+    rel-pos attention op; the Pallas flash path plugs in behind the same
+    interface (ops/flash_attention.py).
+  * Compute dtype is configurable (bf16 for speed); layer norms and softmax
+    stay fp32.
+  * The EVP prompt stream (FFT high-pass handcrafted features + patch
+    embedding features -> per-block tiny MLPs -> shared up-projection) is
+    computed once per image; per-block prompts are generated inside the
+    block loop.
+
+Trainable-at-finetune params (mirroring the reference freeze rule,
+`/root/reference/train_ovcos_maskdecoder_edge.py:301-303`): only
+`prompt_generator/*`; everything else is frozen SAM weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.norms import LayerNormFP32
+from ..ops.window import window_partition, window_unpartition
+from ..ops.rel_pos import attention_with_decomposed_rel_pos
+from ..ops.fft_prompt import fft_highpass
+
+
+@dataclasses.dataclass(frozen=True)
+class SamEncoderConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
+    # EVP prompt generator
+    prompt_scale_factor: int = 32  # embed_dim // 32 = handcrafted dim
+    freq_rate: float = 0.25
+    # numerics
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def prompt_dim(self) -> int:
+        return self.embed_dim // self.prompt_scale_factor
+
+    @classmethod
+    def vit_h(cls, **overrides) -> "SamEncoderConfig":
+        return cls(**overrides)
+
+    @classmethod
+    def tiny(cls, **overrides) -> "SamEncoderConfig":
+        """Small config for tests / dry runs."""
+        defaults = dict(
+            img_size=64, patch_size=16, embed_dim=64, depth=4, num_heads=4,
+            out_chans=32, window_size=2, global_attn_indexes=(1, 3),
+            prompt_scale_factor=8,
+        )
+        defaults.update(overrides)
+        return cls(**defaults)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional decomposed rel-pos bias."""
+
+    dim: int
+    num_heads: int
+    use_rel_pos: bool
+    input_size: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, heads, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        rel_pos_h = rel_pos_w = None
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h",
+                nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+                jnp.float32,
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w",
+                nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+                jnp.float32,
+            )
+
+        out = attention_with_decomposed_rel_pos(
+            q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class MLPBlock(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="lin1")(x)
+        x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
+        return nn.Dense(self.dim, dtype=self.dtype, name="lin2")(x)
+
+
+class Block(nn.Module):
+    """ViT block: windowed (window_size > 0) or global attention."""
+
+    cfg: SamEncoderConfig
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        shortcut = x
+        x = LayerNormFP32(eps=1e-6, name="norm1")(x)
+        H, W = x.shape[1], x.shape[2]
+        if self.window_size > 0:
+            x, pad_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = (H, W)
+        x = Attention(
+            dim=cfg.embed_dim,
+            num_heads=cfg.num_heads,
+            use_rel_pos=cfg.use_rel_pos,
+            input_size=attn_size,
+            dtype=cfg.dtype,
+            name="attn",
+        )(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        x = shortcut + x
+        y = LayerNormFP32(eps=1e-6, name="norm2")(x)
+        x = x + MLPBlock(
+            dim=cfg.embed_dim,
+            hidden=int(cfg.embed_dim * cfg.mlp_ratio),
+            dtype=cfg.dtype,
+            name="mlp",
+        )(y)
+        return x
+
+
+class PromptGenerator(nn.Module):
+    """EVP adapter: handcrafted FFT features + embedding features -> prompts.
+
+    Reference: `PromptGenerator` (`image_encoder.py:218-353`). Emits one
+    (B, H, W, embed_dim) prompt per block.
+    """
+
+    cfg: SamEncoderConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embedding_generator = nn.Dense(
+            cfg.prompt_dim, dtype=cfg.dtype, name="embedding_generator"
+        )
+        # PatchEmbed2: conv over the FFT high-passed image.
+        self.handcrafted_embed = nn.Conv(
+            cfg.prompt_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=cfg.dtype,
+            name="handcrafted_embed",
+        )
+        self.lightweight_mlps = [
+            nn.Dense(cfg.prompt_dim, dtype=cfg.dtype, name=f"lightweight_mlp_{i}")
+            for i in range(cfg.depth)
+        ]
+        self.shared_mlp = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="shared_mlp")
+
+    def init_features(self, image: jnp.ndarray, patch_tokens: jnp.ndarray):
+        """image: (B, H, W, 3) preprocessed input; patch_tokens: (B, h, w, D)."""
+        handcrafted = self.handcrafted_embed(
+            fft_highpass(image, self.cfg.freq_rate).astype(self.cfg.dtype)
+        )  # (B, h, w, prompt_dim)
+        embedding = self.embedding_generator(patch_tokens)  # (B, h, w, prompt_dim)
+        return handcrafted + embedding
+
+    def block_prompt(self, features: jnp.ndarray, i: int) -> jnp.ndarray:
+        p = self.lightweight_mlps[i](features)
+        p = jax.nn.gelu(p, approximate=False)
+        return self.shared_mlp(p)
+
+
+class ImageEncoderViT(nn.Module):
+    """SAM image encoder; returns (neck features NHWC, interm global-block tokens)."""
+
+    cfg: SamEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, interm: bool = False
+    ):
+        cfg = self.cfg
+        inp = x
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(x.astype(cfg.dtype))  # (B, h, w, D)
+
+        prompt_gen = PromptGenerator(cfg, name="prompt_generator")
+        prompt_features = prompt_gen.init_features(inp, x)
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.zeros,
+            (1, cfg.grid, cfg.grid, cfg.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos_embed.astype(cfg.dtype)
+
+        interm_embeddings = []
+        for i in range(cfg.depth):
+            window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = x + prompt_gen.block_prompt(prompt_features, i)
+            x = Block(cfg, window_size=window, name=f"block_{i}")(x)
+            if interm and window == 0:
+                interm_embeddings.append(x)
+
+        # Neck: 1x1 conv -> LN -> 3x3 conv -> LN (all channel-last).
+        y = nn.Conv(
+            cfg.out_chans, kernel_size=(1, 1), use_bias=False, dtype=cfg.dtype,
+            name="neck_conv1",
+        )(x)
+        y = LayerNormFP32(eps=1e-6, name="neck_ln1")(y)
+        y = nn.Conv(
+            cfg.out_chans, kernel_size=(3, 3), padding="SAME", use_bias=False,
+            dtype=cfg.dtype, name="neck_conv2",
+        )(y)
+        y = LayerNormFP32(eps=1e-6, name="neck_ln2")(y)
+
+        if interm:
+            return y, interm_embeddings
+        return y
