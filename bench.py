@@ -1,0 +1,97 @@
+"""End-to-end cascade throughput benchmark (real TPU).
+
+Measures images/sec through the FULL fused OVCOS pipeline at 1024px —
+SAM ViT-H encoder + CLIP pass 1 (all-ones alpha) + edge mask decoder +
+mask upsample + alpha handoff + CLIP pass 2 (predicted alpha) — i.e. the
+reference's per-image eval work (`/root/reference/test_ovcos_maskdecoder_edge.py:102-114`)
+as one jitted program.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+baseline is the driver-set target of 20 images/sec/chip (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {1,2,4,8}")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from camouflaged_vlm_tpu.factory import (
+        build_full_cascade,
+        make_bank_inputs,
+        make_example_inputs,
+        init_cascade_params,
+    )
+    from camouflaged_vlm_tpu.data.ovcamo import TEST_CLASS_NAMES
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, cfg = build_full_cascade(dtype=dtype)
+    bank = make_bank_inputs(cfg, TEST_CLASS_NAMES)
+    params = init_cascade_params(model, cfg, bank, batch=1)
+    # Keep big weights in compute dtype to halve HBM traffic.
+    params = jax.tree.map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
+        params,
+    )
+
+    @jax.jit
+    def forward(params, inp, cimg, cmask, prefix, suffix, eot, bank_feat):
+        return model.apply(
+            params, inp, cimg, cmask, prefix, suffix, eot, bank_feat,
+            method=model.infer_cascade,
+        )
+
+    batches = [args.batch] if args.batch else [1, 2, 4, 8]
+    best_ips, best_b, per_batch = 0.0, 0, {}
+    for B in batches:
+        try:
+            inp, cimg, cmask = make_example_inputs(cfg, batch=B)
+            call = lambda: forward(
+                params, inp, cimg, cmask,
+                bank["prefix"], bank["suffix"], bank["eot_indices"],
+                bank["bank_features"],
+            )
+            for _ in range(args.warmup):
+                jax.block_until_ready(call())
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(call())
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            sec = times[len(times) // 2]
+            ips = B / sec
+            per_batch[B] = round(ips, 3)
+            if ips > best_ips:
+                best_ips, best_b = ips, B
+        except Exception as e:  # e.g. OOM at large batch
+            per_batch[B] = f"failed: {type(e).__name__}"
+            break
+
+    print(
+        json.dumps(
+            {
+                "metric": "cascade_images_per_sec_per_chip",
+                "value": round(best_ips, 3),
+                "unit": "img/s @1024px e2e (batch %d, %s)" % (best_b, args.dtype),
+                "vs_baseline": round(best_ips / 20.0, 3),
+            }
+        )
+    )
+    print(json.dumps({"per_batch": per_batch}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Host input pipeline: decode + preprocess in a thread pool, prefetch batches.
+
+Replaces the reference's torch DataLoader(num_workers=8) with a
+thread-pooled PIL pipeline feeding static-shaped NHWC numpy batches; callers
+device_put them (the jitted program overlaps the next host batch with device
+compute thanks to async dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .ovcamo import OVCamoIndex, OVCamoSample
+from .transforms import (
+    clip_image_transform,
+    clip_ones_alpha,
+    mask_to_target,
+    maybe_rot90_to_match,
+    sam_image_transform,
+)
+
+
+@dataclasses.dataclass
+class EvalSample:
+    inp: np.ndarray          # (1024, 1024, 3)
+    gt: np.ndarray           # (1024, 1024, 1)
+    clip_image: np.ndarray   # (336, 336, 3)
+    clip_mask: np.ndarray    # (336, 336, 1)
+    label_id: int
+    label_name: str
+    image_path: str
+    mask_path: str
+    orig_size: tuple         # (H, W) of the original mask
+
+
+def _load_eval_sample(
+    sample: OVCamoSample, inp_size: int, clip_size: int
+) -> EvalSample:
+    img = Image.open(sample.image_path).convert("RGB")
+    mask = Image.open(sample.mask_path).convert("L")
+    img = maybe_rot90_to_match(img, mask)
+    return EvalSample(
+        inp=sam_image_transform(img, inp_size),
+        gt=mask_to_target(mask, inp_size),
+        clip_image=clip_image_transform(img, clip_size),
+        clip_mask=clip_ones_alpha(clip_size),
+        label_id=sample.class_id,
+        label_name=sample.class_label,
+        image_path=sample.image_path,
+        mask_path=sample.mask_path,
+        orig_size=(mask.size[1], mask.size[0]),
+    )
+
+
+def iter_eval_batches(
+    index: OVCamoIndex,
+    batch_size: int = 1,
+    inp_size: int = 1024,
+    clip_size: int = 336,
+    num_workers: int = 8,
+    prefetch: int = 2,
+) -> Iterator[List[EvalSample]]:
+    """Yield lists of EvalSamples (last batch may be short)."""
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = []
+        for s in index.samples:
+            futures.append(pool.submit(_load_eval_sample, s, inp_size, clip_size))
+        batch: List[EvalSample] = []
+        for fut in futures:
+            batch.append(fut.result())
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+
+def iter_train_batches(
+    index: OVCamoIndex,
+    batch_size: int,
+    rng: np.random.Generator,
+    inp_size: int = 1024,
+    clip_size: int = 336,
+    num_workers: int = 8,
+) -> Iterator[dict]:
+    """One epoch of shuffled, h-flip-augmented train batches (stacked arrays).
+
+    Matches the reference TrainDataset semantics
+    (`/root/reference/datasets/wrappers.py:120-161`): the CLIP crop is taken
+    BEFORE the flip (the reference flips after computing clip tensors), flip
+    probability 0.5, nearest-resized GT.
+    """
+    order = rng.permutation(len(index.samples))
+
+    def load(i: int):
+        s = index.samples[int(i)]
+        img = Image.open(s.image_path).convert("RGB")
+        mask = Image.open(s.mask_path).convert("L")
+        img = maybe_rot90_to_match(img, mask)
+        clip_img = clip_image_transform(img, clip_size)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+        return (
+            sam_image_transform(img, inp_size),
+            mask_to_target(mask, inp_size),
+            clip_img,
+            s.class_id,
+        )
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = list(pool.map(load, order[start : start + batch_size]))
+            inp, gt, cimg, label = zip(*chunk)
+            yield {
+                "inp": np.stack(inp),
+                "gt": np.stack(gt),
+                "clip_image": np.stack(cimg),
+                "clip_mask": np.broadcast_to(
+                    clip_ones_alpha(clip_size), (batch_size, clip_size, clip_size, 1)
+                ).copy(),
+                "label_id": np.asarray(label, np.int32),
+            }

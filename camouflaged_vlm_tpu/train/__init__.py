@@ -1,0 +1,10 @@
+from .losses import (
+    bce_with_logits,
+    balanced_bce_with_logits,
+    soft_iou_loss,
+    soft_dice_loss,
+    edge_dice_loss,
+    segmentation_loss,
+)
+from .optim import make_optimizer, cosine_epoch_schedule, trainable_mask
+from .train_step import TrainState, make_train_step, create_train_state
