@@ -46,12 +46,16 @@ def main():
         params,
     )
 
+    # NOTE: on the tunneled axon backend block_until_ready() returns before
+    # execution finishes, so the timed program ends in a scalar checksum that
+    # we fetch to host — the fetch is the only reliable completion barrier.
     @jax.jit
     def forward(params, inp, cimg, cmask, prefix, suffix, eot, bank_feat):
-        return model.apply(
+        probs, pred, score = model.apply(
             params, inp, cimg, cmask, prefix, suffix, eot, bank_feat,
             method=model.infer_cascade,
         )
+        return jnp.sum(probs.astype(jnp.float32)) + jnp.sum(pred) + jnp.sum(score)
 
     batches = [args.batch] if args.batch else [1, 2, 4, 8]
     best_ips, best_b, per_batch = 0.0, 0, {}
@@ -64,11 +68,11 @@ def main():
                 bank["bank_features"],
             )
             for _ in range(args.warmup):
-                jax.block_until_ready(call())
+                float(call())  # host fetch == completion barrier
             times = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(call())
+                float(call())
                 times.append(time.perf_counter() - t0)
             times.sort()
             sec = times[len(times) // 2]

@@ -76,9 +76,17 @@ def make_example_inputs(cfg: CascadeConfig, batch: int = 1, seed: int = 0):
 
 def init_cascade_params(model: OVCOSCascade, cfg: CascadeConfig, bank, batch: int = 1, seed: int = 0):
     inp, cimg, cmask = make_example_inputs(cfg, batch, seed)
-    return model.init(
-        jax.random.PRNGKey(seed),
-        inp, cimg, cmask,
+
+    # jit the init: un-jitted flax init dispatches thousands of tiny ops
+    # (minutes over a tunneled TPU); jitted it compiles to one program.
+    @jax.jit
+    def _init(key, inp, cimg, cmask, prefix, suffix, eot, feats):
+        return model.init(
+            key, inp, cimg, cmask, prefix, suffix, eot, feats,
+            method=model.infer_cascade,
+        )
+
+    return _init(
+        jax.random.PRNGKey(seed), inp, cimg, cmask,
         bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"],
-        method=model.infer_cascade,
     )

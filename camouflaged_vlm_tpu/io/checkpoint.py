@@ -1,0 +1,31 @@
+"""Native checkpointing (orbax): params + optimizer state + step.
+
+Fixes the reference's broken resume (its `resume` key only restores the
+epoch counter, never weights or optimizer —
+`/root/reference/train_ovcos_maskdecoder_edge.py:167-172`): here the full
+TrainState round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, state: Any, force: bool = True) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=force)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)

@@ -82,12 +82,14 @@ class EdgeMaskDecoder(nn.Module):
         n_tokens = 1 + cfg.num_mask_tokens  # iou + 4 mask + edge
 
         # Deep edge features from raw image embeddings (4x upsample).
-        edge_embeddings = nn.Sequential([
-            nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), dtype=cfg.dtype),
-            LayerNormFP32(eps=1e-6),
-            lambda t: jax.nn.gelu(t, approximate=False),
-            nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), dtype=cfg.dtype),
-        ], name="embedding_encoder")(image_embeddings)
+        e = nn.ConvTranspose(
+            C // 4, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=cfg.dtype, name="edge_encoder_conv1"
+        )(image_embeddings)
+        e = LayerNormFP32(eps=1e-6, name="edge_encoder_ln")(e)
+        e = jax.nn.gelu(e, approximate=False)
+        edge_embeddings = nn.ConvTranspose(
+            C // 8, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=cfg.dtype, name="edge_encoder_conv2"
+        )(e)
 
         iou_token = self.param(
             "iou_token", nn.initializers.normal(1.0), (1, C), jnp.float32
@@ -119,22 +121,27 @@ class EdgeMaskDecoder(nn.Module):
         # Upscale transformer-refined image embeddings 4x.
         src_img = src_out.reshape(B, h, w, C)
         upscaled = nn.ConvTranspose(
-            C // 4, (2, 2), strides=(2, 2), dtype=cfg.dtype, name="upscale_conv1"
+            C // 4, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=cfg.dtype, name="upscale_conv1"
         )(src_img)
         upscaled = LayerNormFP32(eps=1e-6, name="upscale_ln")(upscaled)
         upscaled = jax.nn.gelu(upscaled, approximate=False)
         upscaled = nn.ConvTranspose(
-            C // 8, (2, 2), strides=(2, 2), dtype=cfg.dtype, name="upscale_conv2"
+            C // 8, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=cfg.dtype, name="upscale_conv2"
         )(upscaled)
         upscaled = jax.nn.gelu(upscaled, approximate=False)
 
         # Edge feature refinement (3x3 "ConvTranspose" with stride 1 == conv).
-        edge_feat = nn.Sequential([
-            nn.ConvTranspose(C // 4, (3, 3), strides=(1, 1), padding="SAME", dtype=cfg.dtype),
-            LayerNormFP32(eps=1e-6),
-            lambda t: jax.nn.gelu(t, approximate=False),
-            nn.ConvTranspose(C // 8, (3, 3), strides=(1, 1), padding="SAME", dtype=cfg.dtype),
-        ], name="embedding_maskfeature")(upscaled) + edge_embeddings
+        f = nn.ConvTranspose(
+            C // 4, (3, 3), strides=(1, 1), padding="SAME", transpose_kernel=True,
+            dtype=cfg.dtype, name="maskfeature_conv1",
+        )(upscaled)
+        f = LayerNormFP32(eps=1e-6, name="maskfeature_ln")(f)
+        f = jax.nn.gelu(f, approximate=False)
+        f = nn.ConvTranspose(
+            C // 8, (3, 3), strides=(1, 1), padding="SAME", transpose_kernel=True,
+            dtype=cfg.dtype, name="maskfeature_conv2",
+        )(f)
+        edge_feat = f + edge_embeddings
 
         # Hypernetwork heads: 5 per-token MLPs (4 mask + 1 edge).
         hyper_in = []
