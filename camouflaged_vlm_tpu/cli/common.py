@@ -37,7 +37,8 @@ def assemble_cascade(
     dtype=jnp.bfloat16,
     tiny: bool = False,
     seed: int = 0,
-) -> Tuple[OVCOSCascade, CascadeConfig, Dict, Dict]:
+    return_bank_builder: bool = False,
+):
     """Build model + params + class bank, restoring whatever checkpoints exist.
 
     Mirrors the reference's assembly order
@@ -91,11 +92,24 @@ def assemble_cascade(
         lambda p: jnp.asarray(p, dtype) if np.asarray(p).ndim >= 2 else jnp.asarray(p),
         params,
     )
+    if return_bank_builder:
+        def make_bank(names: Sequence[str], bank_features=None, bank_path=None):
+            feats = bank_features
+            if feats is None and bank_path and os.path.exists(bank_path):
+                feats = load_torch_state_dict_as_array(bank_path)
+            return make_bank_inputs(
+                cfg, names, token_embedding=token_embedding,
+                bank_features=feats, seed=seed,
+            )
+
+        return model, cfg, params, bank, make_bank
     return model, cfg, params, bank
 
 
 def load_torch_state_dict_as_array(path: str) -> np.ndarray:
-    """Load a .pth that contains a single tensor (the text-feature banks)."""
+    """Load a text-feature bank: .npy (native) or .pth single-tensor."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
     import torch
 
     t = torch.load(path, map_location="cpu", weights_only=False)

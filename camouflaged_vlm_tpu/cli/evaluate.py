@@ -1,0 +1,161 @@
+"""Full OVCamo test-split evaluation.
+
+Equivalent of `/root/reference/test_ovcos_maskdecoder_edge.py`
+(`eval_psnr_ovcamo_both`, :68-148): per image
+
+  * stage-1 mask -> class-agnostic COD metrics (sm/em/wfm/mae) at 1024px;
+  * stage-2 classification (alpha = resized sigmoid mask) -> top1/top5/macroF1;
+  * class-aware OVCOS metrics at the ORIGINAL mask resolution
+    (sm/wfm/mae/adp|max|avg fm/em/iou, zeroed on class mismatch);
+  * optional overlay dumps.
+
+TPU design: both stages run as ONE jitted program per batch (the mask never
+leaves HBM between stages); host threads overlap decode/preprocess and the
+per-image metric computation with device compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from ..data.ovcamo import OVCamoIndex, TEST_CLASS_NAMES
+from ..data.loader import iter_eval_batches
+from ..metrics import CODMetrics, OVCOSMetricer, ClassificationEvaluator
+from ..utils.logging import log, set_log_file
+from .common import assemble_cascade
+
+
+def evaluate(
+    model, cfg, params, bank, index: OVCamoIndex,
+    batch_size: int = 4, save_img_path: str | None = None, num_workers: int = 8,
+):
+    classnames = index.classes
+
+    @jax.jit
+    def run(params, inp, cimg, cmask):
+        return model.apply(
+            params, inp, cimg, cmask,
+            bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"],
+            method=model.infer_cascade,
+        )
+
+    cod = CODMetrics()
+    metricer = OVCOSMetricer(class_names=classnames, num_workers=num_workers)
+    clf = ClassificationEvaluator(class_names=classnames)
+    if save_img_path:
+        os.makedirs(save_img_path, exist_ok=True)
+
+    n_done = 0
+    t0 = time.time()
+    for batch in iter_eval_batches(
+        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers
+    ):
+        B = len(batch)
+        pad = batch_size - B  # keep shapes static for the compiled program
+        inp = np.stack([s.inp for s in batch] + [batch[-1].inp] * pad)
+        cimg = np.stack([s.clip_image for s in batch] + [batch[-1].clip_image] * pad)
+        cmask = np.stack([s.clip_mask for s in batch] + [batch[-1].clip_mask] * pad)
+
+        probs, pred, score = run(
+            params, jnp.asarray(inp), jnp.asarray(cimg), jnp.asarray(cmask)
+        )
+        probs = np.asarray(probs)[:B, :, :, 0]
+        pred = np.asarray(pred)[:B]
+        score = np.asarray(score)[:B]
+
+        clf.process(score, np.asarray([s.label_id for s in batch]))
+        for i, s in enumerate(batch):
+            cod.step(probs[i], s.gt[:, :, 0])
+            gt = np.asarray(Image.open(s.mask_path).convert("L"))
+            h, w = gt.shape
+            pred_full = np.asarray(
+                Image.fromarray((probs[i] * 255).astype(np.uint8)).resize(
+                    (w, h), Image.BILINEAR
+                )
+            )
+            pre_cls = classnames[int(pred[i])]
+            metricer.step(
+                pre=pred_full, gt=gt, pre_cls=pre_cls, gt_cls=s.label_name,
+                gt_path=s.mask_path,
+            )
+            if save_img_path:
+                Image.fromarray(pred_full).save(
+                    os.path.join(
+                        save_img_path,
+                        f"[{pre_cls}]{os.path.basename(s.mask_path)}",
+                    )
+                )
+        n_done += B
+
+    elapsed = time.time() - t0
+    ovcos = metricer.show()
+    ori_sm, ori_em, ori_wfm, ori_mae = cod.results()
+    cls_res = clf.evaluate()
+    results = {
+        **ovcos,
+        "ori_sm": round(ori_sm, 4),
+        "ori_em": round(ori_em, 4),
+        "ori_wfm": round(ori_wfm, 4),
+        "ori_mae": round(ori_mae, 4),
+        **{k: round(v, 2) for k, v in cls_res.items()},
+        "images": n_done,
+        "images_per_sec": round(n_done / elapsed, 3),
+    }
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset-info", required=True, help="splitted_ovcamo.yaml with path keys")
+    p.add_argument("--split", default="test")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--output-dir", default="./eval_results")
+    p.add_argument("--save-images", action="store_true")
+    p.add_argument("--cascade-ckpt", default=None)
+    p.add_argument("--sam-ckpt", default=None)
+    p.add_argument("--clip-ckpt", default=None)
+    p.add_argument("--maple-ckpt", default=None)
+    p.add_argument("--text-bank", default=None)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    set_log_file(os.path.join(args.output_dir, "log.txt"))
+
+    with open(args.dataset_info) as f:
+        dataset_info = yaml.safe_load(f)
+    index = OVCamoIndex.from_dataset_info(dataset_info, args.split)
+    log(f"[eval] {len(index)} samples, {len(index.classes)} classes ({args.split})")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, cfg, params, bank = assemble_cascade(
+        index.classes,
+        cascade_ckpt=args.cascade_ckpt,
+        sam_ckpt=args.sam_ckpt,
+        clip_ckpt=args.clip_ckpt,
+        maple_ckpt=args.maple_ckpt,
+        text_bank_path=args.text_bank,
+        dtype=dtype,
+    )
+    save_path = os.path.join(args.output_dir, "result_image") if args.save_images else None
+    results = evaluate(
+        model, cfg, params, bank, index,
+        batch_size=args.batch_size, save_img_path=save_path,
+    )
+    log(json.dumps(results, indent=2))
+    with open(os.path.join(args.output_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

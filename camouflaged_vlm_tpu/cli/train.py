@@ -1,0 +1,168 @@
+"""OVCOS cascade training.
+
+Equivalent of `/root/reference/train_ovcos_maskdecoder_edge.py` (main :240,
+train :183): AdamW(2e-4) + per-epoch cosine to 1e-7 over 20 epochs, training
+only {EVP prompt generator, mask decoder, CLIP->prompt projections,
+no_mask_embed, pe_layer}, validating every `epoch_val` epochs, saving
+last/best (min val MAE).
+
+TPU-native deltas (documented deviations):
+  * data parallelism via a jax Mesh with per-step compiled gradient psum —
+    the reference's DDP never synchronised gradients (SURVEY.md §5.8);
+  * checkpoints are orbax TrainStates (params + optimizer + step), so resume
+    actually works (the reference's resume restores only the epoch counter);
+  * global batch = batch_size (sharded over devices), not per-rank.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.ovcamo import OVCamoIndex
+from ..data.loader import iter_train_batches
+from ..data.transforms import ONES_ALPHA_VALUE
+from ..parallel import make_mesh, shard_params
+from ..train import make_optimizer, make_train_step, create_train_state
+from ..io.checkpoint import save_checkpoint
+from ..utils.logging import log, set_log_file
+from ..utils.timer import Timer
+from .common import assemble_cascade
+from .evaluate import evaluate
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset-info", required=True)
+    p.add_argument("--save-dir", default="./save/ovcos_tpu")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=4, help="global batch")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--eta-min", type=float, default=1e-7)
+    p.add_argument("--epoch-val", type=int, default=2)
+    p.add_argument("--loss", default="iou", choices=["bce", "bbce", "iou"])
+    p.add_argument("--sam-ckpt", default=None)
+    p.add_argument("--clip-ckpt", default=None)
+    p.add_argument("--maple-ckpt", default=None)
+    p.add_argument("--text-bank", default=None)
+    p.add_argument("--train-text-bank", default=None)
+    p.add_argument("--n-model", type=int, default=1, help="tensor-parallel axis size")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    set_log_file(os.path.join(args.save_dir, "log.txt"))
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.save_dir, "tensorboard"))
+    except Exception:
+        writer = None
+
+    with open(args.dataset_info) as f:
+        dataset_info = yaml.safe_load(f)
+    train_index = OVCamoIndex.from_dataset_info(dataset_info, "train")
+    val_index = OVCamoIndex.from_dataset_info(dataset_info, "test")
+    log(f"[train] {len(train_index)} samples / {len(train_index.classes)} classes")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    # Training conditions the CLIP pass on the TRAIN class split
+    # (`/root/reference/train_ovcos_maskdecoder_edge.py:266`).
+    model, cfg, params, bank, make_bank = assemble_cascade(
+        train_index.classes,
+        sam_ckpt=args.sam_ckpt,
+        clip_ckpt=args.clip_ckpt,
+        maple_ckpt=args.maple_ckpt,
+        text_bank_path=args.train_text_bank or args.text_bank,
+        dtype=dtype,
+        tiny=args.tiny,
+        seed=args.seed,
+        return_bank_builder=True,
+    )
+    val_bank = make_bank(val_index.classes, bank_path=args.text_bank)
+
+    mesh = make_mesh(n_model=args.n_model)
+    n_data = mesh.shape["data"]
+    assert args.batch_size % n_data == 0, (args.batch_size, n_data)
+    params = shard_params(mesh, params)
+
+    steps_per_epoch = max(1, len(train_index) // args.batch_size)
+    tx = make_optimizer(
+        params,
+        base_lr=args.lr,
+        total_epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+        eta_min=args.eta_min,
+    )
+    state = create_train_state(params, tx)
+    train_step = jax.jit(make_train_step(model, tx, loss_mode=args.loss))
+
+    batch_shard = NamedSharding(mesh, P("data", None, None, None))
+    repl = NamedSharding(mesh, P())
+    static_bank = {k: jax.device_put(np.asarray(v), repl) for k, v in bank.items()}
+
+    rng = np.random.default_rng(args.seed)
+    best_mae = float("inf")
+    timer = Timer()
+    with mesh:
+        for epoch in range(1, args.epochs + 1):
+            timer.s()
+            losses = []
+            for batch in iter_train_batches(
+                train_index, args.batch_size, rng, cfg.inp_size, cfg.clip_size
+            ):
+                device_batch = {
+                    "inp": jax.device_put(batch["inp"], batch_shard),
+                    "gt": jax.device_put(batch["gt"], batch_shard),
+                    "clip_image": jax.device_put(batch["clip_image"], batch_shard),
+                    "clip_mask": jax.device_put(batch["clip_mask"], batch_shard),
+                    **static_bank,
+                }
+                state, metrics = train_step(state, device_batch)
+                losses.append(metrics)
+            losses = {
+                k: float(np.mean([float(m[k]) for m in losses]))
+                for k in (losses[0] if losses else {})
+            }
+            log(
+                f"epoch {epoch}/{args.epochs} "
+                + " ".join(f"{k}={v:.4f}" for k, v in losses.items())
+                + f" ({timer.t():.1f}s)"
+            )
+            if writer:
+                for k, v in losses.items():
+                    writer.add_scalar(k, v, epoch)
+
+            save_checkpoint(os.path.join(args.save_dir, "ckpt_last"), state)
+
+            if epoch % args.epoch_val == 0:
+                results = evaluate(
+                    model, cfg, state.params, val_bank, val_index,
+                    batch_size=max(1, args.batch_size // 2),
+                )
+                log(f"[val epoch {epoch}] {json.dumps(results)}")
+                if writer:
+                    for k in ("sm", "wfm", "mae", "avgiou"):
+                        if k in results:
+                            writer.add_scalar(f"val/{k}", results[k], epoch)
+                if results.get("mae", 1.0) < best_mae:
+                    best_mae = results["mae"]
+                    save_checkpoint(os.path.join(args.save_dir, "ckpt_best"), state)
+                    log(f"[val epoch {epoch}] new best mae {best_mae}")
+
+    log("training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,8 @@ import flax.linen as nn
 from ..ops.norms import LayerNormFP32
 from ..ops.window import window_partition, window_unpartition
 from ..ops.rel_pos import attention_with_decomposed_rel_pos
+from ..ops.aug_attention import augment_qk, attention_xla
+from ..ops.flash_attention import flash_attention_fullk
 from ..ops.fft_prompt import fft_highpass
 
 
@@ -56,6 +58,12 @@ class SamEncoderConfig:
     freq_rate: float = 0.25
     # numerics
     dtype: jnp.dtype = jnp.float32
+    # attention implementation:
+    #   'aug_flash' — rel-pos as augmented features; Pallas kernel for global
+    #                 blocks, XLA for windows (TPU production path)
+    #   'aug_xla'   — augmented features, XLA attention everywhere
+    #   'reference' — dense bias materialisation (parity/debug path)
+    attn_impl: str = "aug_flash"
 
     @property
     def grid(self) -> int:
@@ -82,21 +90,28 @@ class SamEncoderConfig:
 
 
 class Attention(nn.Module):
-    """Multi-head attention with optional decomposed rel-pos bias."""
+    """Multi-head attention with optional decomposed rel-pos bias.
+
+    TPU path ('aug_*'): the bias is folded into augmented q'/k' features
+    (see ops/aug_attention.py), so global blocks run a standard Pallas flash
+    kernel and never materialise (4096 x 4096) logits in HBM.
+    """
 
     dim: int
     num_heads: int
     use_rel_pos: bool
     input_size: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "aug_flash"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, _ = x.shape
+        N = H * W
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, heads, N, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -115,9 +130,28 @@ class Attention(nn.Module):
                 jnp.float32,
             )
 
-        out = attention_with_decomposed_rel_pos(
-            q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
-        )
+        if self.attn_impl == "reference":
+            out = attention_with_decomposed_rel_pos(
+                q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
+            )
+        else:
+            q_aug, k_aug = augment_qk(
+                q, k, rel_pos_h, rel_pos_w, (H, W), scale
+            )
+            use_flash = self.attn_impl == "aug_flash" and N >= 1024
+            if use_flash:
+                d_aug = q_aug.shape[-1]
+                d_v = ((head_dim + 127) // 128) * 128
+                v_p = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_v - head_dim)))
+                out = flash_attention_fullk(
+                    q_aug.reshape(B * self.num_heads, N, d_aug),
+                    k_aug.reshape(B * self.num_heads, N, d_aug),
+                    v_p.reshape(B * self.num_heads, N, d_v),
+                )
+                out = out.reshape(B, self.num_heads, N, d_v)[..., :head_dim]
+            else:
+                out = attention_xla(q_aug, k_aug, v)
+
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -157,6 +191,7 @@ class Block(nn.Module):
             use_rel_pos=cfg.use_rel_pos,
             input_size=attn_size,
             dtype=cfg.dtype,
+            attn_impl=cfg.attn_impl,
             name="attn",
         )(x)
         if self.window_size > 0:
