@@ -54,6 +54,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args()
 
+    if not os.path.exists(args.image):
+        p.error(f"--image {args.image!r} does not exist")  # before model assembly
+
     classnames = (
         args.classnames.split(",") if args.classnames else TEST_CLASS_NAMES
     )
