@@ -1,0 +1,167 @@
+"""Training-path tests: losses vs torch oracle, freeze rules, train step,
+orbax checkpoint roundtrip, dp+tp sharded step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from camouflaged_vlm_tpu.train import (
+    bce_with_logits,
+    balanced_bce_with_logits,
+    soft_iou_loss,
+    edge_dice_loss,
+    segmentation_loss,
+    make_optimizer,
+    trainable_mask,
+    cosine_epoch_schedule,
+    make_train_step,
+    create_train_state,
+    TrainState,
+)
+from camouflaged_vlm_tpu.models import CascadeConfig, OVCOSCascade
+from camouflaged_vlm_tpu.factory import make_bank_inputs, init_cascade_params
+
+
+def test_bce_matches_torch(rng):
+    logits = rng.standard_normal((2, 8, 8, 1)).astype(np.float32)
+    gt = (rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32)
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(gt)))
+    want = float(F.binary_cross_entropy_with_logits(torch.from_numpy(logits), torch.from_numpy(gt)))
+    assert abs(got - want) < 1e-6
+
+
+def test_bbce_matches_torch_reference_formula(rng):
+    logits = rng.standard_normal((2, 8, 8, 1)).astype(np.float32)
+    gt = (rng.random((2, 8, 8, 1)) > 0.7).astype(np.float32)
+    got = float(balanced_bce_with_logits(jnp.asarray(logits), jnp.asarray(gt)))
+    lt, gtt = torch.from_numpy(logits), torch.from_numpy(gt)
+    eps = 1e-10
+    count_pos = gtt.sum() + eps
+    count_neg = (1 - gtt).sum()
+    ratio = count_neg / count_pos
+    w_neg = count_pos / (count_pos + count_neg)
+    want = float(w_neg * F.binary_cross_entropy_with_logits(lt, gtt, pos_weight=ratio))
+    assert abs(got - want) < 1e-5
+
+
+def test_iou_loss_matches_torch(rng):
+    logits = rng.standard_normal((2, 8, 8, 1)).astype(np.float32)
+    gt = (rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32)
+    got = float(soft_iou_loss(jnp.asarray(logits), jnp.asarray(gt)))
+    # torch oracle with NCHW reduction over (2,3) == our NHWC over (1,2)
+    pred = torch.sigmoid(torch.from_numpy(logits.transpose(0, 3, 1, 2)))
+    t = torch.from_numpy(gt.transpose(0, 3, 1, 2))
+    inter = (pred * t).sum(dim=(2, 3))
+    union = (pred + t).sum(dim=(2, 3)) - inter
+    want = float((1 - inter / union).mean())
+    assert abs(got - want) < 1e-6
+
+
+def test_edge_dice_matches_reference_formula(rng):
+    prob = rng.random((2, 8, 8, 1)).astype(np.float32)
+    edge = (rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32)
+    got = float(edge_dice_loss(jnp.asarray(prob), jnp.asarray(edge)))
+    p = torch.from_numpy(prob).reshape(2, -1)
+    e = torch.from_numpy(edge).reshape(2, -1)
+    num = (p * e).sum(dim=1) * 2 + 1
+    den = (p.pow(2) + e.pow(2)).sum(dim=1) + 1
+    want = float((1 - num / den).mean())
+    assert abs(got - want) < 1e-6
+
+
+def test_cosine_epoch_schedule_endpoints():
+    sched = cosine_epoch_schedule(2e-4, total_epochs=20, steps_per_epoch=10, eta_min=1e-7)
+    assert abs(float(sched(0)) - 2e-4) < 1e-9
+    # within epoch 0 the lr is constant (per-epoch stepping)
+    assert float(sched(0)) == float(sched(9))
+    assert abs(float(sched(200)) - 1e-7) < 1e-10
+
+
+@pytest.fixture(scope="module")
+def tiny_train_setup():
+    cfg = CascadeConfig.tiny()
+    model = OVCOSCascade(cfg)
+    bank = make_bank_inputs(cfg, ["cat", "owl"])
+    params = init_cascade_params(model, cfg, bank)
+    return cfg, model, bank, params
+
+
+def test_trainable_mask_matches_reference_freeze_rule(tiny_train_setup):
+    cfg, model, bank, params = tiny_train_setup
+    labels = trainable_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    by_path = {
+        "/".join(str(getattr(k, "key", k)) for k in p): v for p, v in flat
+    }
+    # frozen: SAM ViT blocks, the whole CLIP tower
+    assert by_path["params/image_encoder/block_0/attn/qkv/kernel"] == "freeze"
+    assert by_path["params/clip_model/image_encoder/conv1/kernel"] == "freeze"
+    assert by_path["params/clip_model/prompt_learner/ctx"] == "freeze"
+    # trainable: EVP prompts, decoder, projections, pe layer, no_mask_embed
+    assert by_path["params/image_encoder/prompt_generator/shared_mlp/kernel"] == "train"
+    assert by_path["params/mask_decoder/iou_token"] == "train"
+    assert by_path["params/visual_proj_dense/kernel"] == "train"
+    assert by_path["params/no_mask_embed"] == "train"
+    assert by_path["params/pe_layer/positional_encoding_gaussian_matrix"] == "train"
+
+
+def _make_batch(cfg, bank, rng, B=2):
+    return {
+        "inp": jnp.asarray(rng.standard_normal((B, cfg.inp_size, cfg.inp_size, 3)), jnp.float32),
+        "gt": jnp.asarray((rng.random((B, cfg.inp_size, cfg.inp_size, 1)) > 0.5), jnp.float32),
+        "clip_image": jnp.asarray(rng.standard_normal((B, cfg.clip_size, cfg.clip_size, 3)), jnp.float32),
+        "clip_mask": jnp.full((B, cfg.clip_size, cfg.clip_size, 1), 1.923, jnp.float32),
+        **bank,
+    }
+
+
+def test_train_step_updates_only_trainable(tiny_train_setup, rng):
+    cfg, model, bank, params = tiny_train_setup
+    tx = make_optimizer(params)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+    batch = _make_batch(cfg, bank, rng)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def flat(t):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(t)[0]
+        }
+
+    before, after = flat(params), flat(new_state.params)
+    frozen_key = "params/image_encoder/block_0/attn/qkv/kernel"
+    clip_key = "params/clip_model/image_encoder/conv1/kernel"
+    train_key = "params/mask_decoder/iou_token"
+    np.testing.assert_array_equal(before[frozen_key], after[frozen_key])
+    np.testing.assert_array_equal(before[clip_key], after[clip_key])
+    assert np.abs(before[train_key] - after[train_key]).max() > 0
+
+    # loss decreases over a few steps on a fixed batch
+    losses = [float(metrics["loss"])]
+    s = new_state
+    for _ in range(3):
+        s, m = step(s, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_orbax_checkpoint_roundtrip(tiny_train_setup, tmp_path):
+    from camouflaged_vlm_tpu.io.checkpoint import save_checkpoint, restore_checkpoint
+
+    cfg, model, bank, params = tiny_train_setup
+    tx = make_optimizer(params)
+    state = create_train_state(params, tx)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, state)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+        jax.tree_util.tree_flatten_with_path(restored.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+    assert int(restored.step) == int(state.step)
