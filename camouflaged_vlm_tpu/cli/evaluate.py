@@ -41,12 +41,18 @@ def evaluate(
 ):
     classnames = index.classes
 
+    # text features are class-split constants at eval time: encode once
+    text_features = jax.jit(
+        lambda p, a, b, c, d: model.apply(
+            p, a, b, c, d, method=model.encode_class_text_features
+        )
+    )(params, bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"])
+
     @jax.jit
     def run(params, inp, cimg, cmask):
         return model.apply(
-            params, inp, cimg, cmask,
-            bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"],
-            method=model.infer_cascade,
+            params, inp, cimg, cmask, text_features,
+            method=model.infer_cascade_with_text,
         )
 
     cod = CODMetrics()

@@ -182,13 +182,32 @@ class OVCOSCascade(nn.Module):
 
         Returns (mask_probs (B,H,W,1), pred_class (B,), class_logits (B,N)).
         """
-        cfg = self.cfg
-        masks, _, _, _, _ = self.stage1(
-            inp, clip_image, clip_mask, prefix, suffix, eot_indices, bank_features
+        text_features = self.encode_class_text_features(
+            prefix, suffix, eot_indices, bank_features
         )
+        return self.infer_cascade_with_text(inp, clip_image, clip_mask, text_features)
+
+    def encode_class_text_features(self, prefix, suffix, eot_indices, bank_features):
+        """Per-class-split text features (image-independent; hoist at eval)."""
+        return self.clip_model.encode_class_text_features(
+            prefix, suffix, eot_indices, bank_features
+        )
+
+    def infer_cascade_with_text(self, inp, clip_image, clip_mask, text_features):
+        """Fused pipeline with precomputed per-class text features.
+
+        At inference the text tower is class-split-constant, so callers encode
+        it once (encode_class_text_features) instead of per batch — the
+        reference recomputes the full text transformer every image.
+        """
+        cfg = self.cfg
+        features, interm = self.image_encoder(inp, interm=True)
+        image_feat, text_feat, _, _ = self.clip_model.classify(
+            clip_image, clip_mask, text_features
+        )
+        sparse = self._sparse_embeddings(image_feat, text_feat)
+        masks, _, _ = self._decode(features, interm, sparse)
         probs = jax.nn.sigmoid(masks.astype(jnp.float32))
         alpha = resize_bilinear(probs, cfg.clip_size, cfg.clip_size)
-        _, _, pred, score = self.clip_model(
-            clip_image, alpha, prefix, suffix, eot_indices, bank_features
-        )
+        _, _, pred, score = self.clip_model.classify(clip_image, alpha, text_features)
         return probs, pred, score

@@ -41,6 +41,50 @@ class CustomClip(nn.Module):
             (),
         )
 
+    def encode_class_text_features(
+        self,
+        prefix: jnp.ndarray,          # (N, 1, W) class-split prompt prefix
+        suffix: jnp.ndarray,          # (N, L-1-n_ctx, W)
+        eot_indices: jnp.ndarray,     # (N,)
+        bank_features: jnp.ndarray,   # (N, embed_dim) frozen text-feature bank
+    ) -> jnp.ndarray:
+        """Per-class text features: normalised learned features + frozen bank.
+
+        Image-independent — at inference this runs ONCE per class split, not
+        once per batch (the reference recomputes the whole text tower every
+        image, `mapleAlphaCLIP.py:286`).
+        """
+        prompts, _, deep_text, _ = self.prompt_learner(prefix, suffix)
+        text_features = self.text_encoder(prompts, eot_indices, deep_text)
+        text_features = text_features / jnp.linalg.norm(
+            text_features, axis=-1, keepdims=True
+        )
+        return text_features + bank_features.astype(jnp.float32)
+
+    def classify(
+        self,
+        image: jnp.ndarray,           # (B, H, W, 3)
+        alpha: jnp.ndarray,           # (B, H, W, 1)
+        text_features: jnp.ndarray,   # (N, embed_dim) from encode_class_text_features
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        _, shared_ctx, _, deep_visual = self._visual_prompts()
+        image_features = self.image_encoder(image, alpha, shared_ctx, deep_visual)
+        image_features = image_features / jnp.linalg.norm(
+            image_features, axis=-1, keepdims=True
+        )
+        logits = jnp.exp(self.logit_scale) * image_features @ text_features.T
+        pred = jnp.argmax(logits, axis=-1)
+        picked_text = text_features[pred][:, None, :]  # (B, 1, D)
+        return image_features[:, None, :], picked_text, pred, logits
+
+    def _visual_prompts(self):
+        """Visual-side MaPLe prompts (class-split independent)."""
+        dummy = jnp.zeros(
+            (1, 1, self.cfg.transformer_width), jnp.float32
+        )
+        _, shared_ctx, _, deep_visual = self.prompt_learner(dummy, dummy)
+        return None, shared_ctx, None, deep_visual
+
     def __call__(
         self,
         image: jnp.ndarray,           # (B, H, W, 3)
@@ -50,21 +94,7 @@ class CustomClip(nn.Module):
         eot_indices: jnp.ndarray,     # (N,)
         bank_features: jnp.ndarray,   # (N, embed_dim) frozen text-feature bank
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        prompts, shared_ctx, deep_text, deep_visual = self.prompt_learner(
-            prefix, suffix
+        text_features = self.encode_class_text_features(
+            prefix, suffix, eot_indices, bank_features
         )
-        text_features = self.text_encoder(prompts, eot_indices, deep_text)
-        image_features = self.image_encoder(image, alpha, shared_ctx, deep_visual)
-
-        image_features = image_features / jnp.linalg.norm(
-            image_features, axis=-1, keepdims=True
-        )
-        text_features = text_features / jnp.linalg.norm(
-            text_features, axis=-1, keepdims=True
-        )
-        text_features = text_features + bank_features.astype(jnp.float32)
-
-        logits = jnp.exp(self.logit_scale) * image_features @ text_features.T
-        pred = jnp.argmax(logits, axis=-1)
-        picked_text = text_features[pred][:, None, :]  # (B, 1, D)
-        return image_features[:, None, :], picked_text, pred, logits
+        return self.classify(image, alpha, text_features)
