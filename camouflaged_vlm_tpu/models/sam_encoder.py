@@ -64,6 +64,14 @@ class SamEncoderConfig:
     #   'aug_xla'   — augmented features, XLA attention everywhere
     #   'reference' — dense bias materialisation (parity/debug path)
     attn_impl: str = "aug_flash"
+    # tanh-approximated GELU in the ViT MLPs: ~35% faster MLP on the VPU
+    # (erf is ~3ms/block at batch 8); OFF by default for exact reference
+    # parity — enable once segmentation quality is validated on checkpoints.
+    gelu_approximate: bool = False
+    # rematerialise block activations in the backward pass (jax.checkpoint):
+    # full ViT-H activations exceed HBM beyond batch 1-2 without it. Costs
+    # ~1/3 extra forward FLOPs during training; no effect on inference.
+    remat: bool = False
 
     @property
     def grid(self) -> int:
@@ -160,11 +168,12 @@ class MLPBlock(nn.Module):
     dim: int
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    gelu_approximate: bool = False  # torch nn.GELU is exact erf
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="lin1")(x)
-        x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
+        x = jax.nn.gelu(x, approximate=self.gelu_approximate)
         return nn.Dense(self.dim, dtype=self.dtype, name="lin2")(x)
 
 
@@ -202,6 +211,7 @@ class Block(nn.Module):
             dim=cfg.embed_dim,
             hidden=int(cfg.embed_dim * cfg.mlp_ratio),
             dtype=cfg.dtype,
+            gelu_approximate=cfg.gelu_approximate,
             name="mlp",
         )(y)
         return x
@@ -281,11 +291,12 @@ class ImageEncoderViT(nn.Module):
         )
         x = x + pos_embed.astype(cfg.dtype)
 
+        block_cls = nn.remat(Block) if cfg.remat else Block
         interm_embeddings = []
         for i in range(cfg.depth):
             window = 0 if i in cfg.global_attn_indexes else cfg.window_size
             x = x + prompt_gen.block_prompt(prompt_features, i)
-            x = Block(cfg, window_size=window, name=f"block_{i}")(x)
+            x = block_cls(cfg, window_size=window, name=f"block_{i}")(x)
             if interm and window == 0:
                 interm_embeddings.append(x)
 

@@ -71,17 +71,16 @@ def cosine_epoch_schedule(
 
 
 def make_optimizer(
-    params,
+    params=None,
     base_lr: float = 2e-4,
     weight_decay: float = 0.0,
     total_epochs: int = 20,
     steps_per_epoch: int = 1,
     eta_min: float = 1e-7,
-    trainable_subtrees: Iterable[str] = TRAINABLE_SUBTREES,
 ) -> optax.GradientTransformation:
+    """AdamW + per-epoch cosine. Freezing is handled structurally: the train
+    step partitions params and only the trainable subtree reaches this
+    optimizer (train_step.partition_params), so no masking wrapper is needed
+    and frozen params take zero optimizer memory."""
     schedule = cosine_epoch_schedule(base_lr, total_epochs, steps_per_epoch, eta_min)
-    adamw = optax.adamw(schedule, weight_decay=weight_decay)
-    labels = trainable_mask(params, trainable_subtrees)
-    return optax.multi_transform(
-        {"train": adamw, "freeze": optax.set_to_zero()}, labels
-    )
+    return optax.adamw(schedule, weight_decay=weight_decay)

@@ -3,13 +3,17 @@
 Functional equivalent of the reference's `optimize_parameters`
 (`/root/reference/models/sam_maskdecoder_edge.py:456-460`) + the DDP loop
 (`/root/reference/train_ovcos_maskdecoder_edge.py:183-238`), as ONE compiled
-program: forward, loss, grad, masked-AdamW update. Data parallelism comes
-from the batch's `data`-axis sharding; XLA inserts the gradient reductions
+program: forward, loss, grad, AdamW update. Data parallelism comes from the
+batch's `data`-axis sharding; XLA inserts the gradient reductions
 (correctly — unlike the reference, whose DDP wrapper is unwrapped before
 training so its ranks never synchronise gradients; see SURVEY.md §5.8).
 
-The loss metrics returned are already the global (mesh-wide) means, replacing
-the reference's explicit `dist.all_gather` of per-rank losses.
+Frozen parameters (SAM ViT weights, the whole CLIP tower) are PARTITIONED
+out of the differentiated function rather than masked in the optimizer:
+jax AD then prunes the backward pass through the frozen CLIP tower entirely
+(it feeds the decoder only through its outputs) and skips frozen-weight
+grads, saving both FLOPs and activation memory. The optimizer state covers
+only the trainable subtree.
 """
 
 from __future__ import annotations
@@ -19,22 +23,43 @@ from typing import Any, Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
+from flax import struct, traverse_util
 
 from .losses import segmentation_loss
+from .optim import trainable_mask
+
+
+def partition_params(params) -> Tuple[Dict, Dict]:
+    """Split a params pytree into (trainable, frozen) flat-dict halves."""
+    labels = traverse_util.flatten_dict(trainable_mask(params))
+    flat = traverse_util.flatten_dict(params)
+    train = {k: v for k, v in flat.items() if labels[k] == "train"}
+    frozen = {k: v for k, v in flat.items() if labels[k] == "freeze"}
+    return train, frozen
+
+
+def combine_params(train: Dict, frozen: Dict):
+    return traverse_util.unflatten_dict({**train, **frozen})
 
 
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
-    params: Any
+    trainable: Any   # flat dict of trainable leaves
+    frozen: Any      # flat dict of frozen leaves
     opt_state: Any
+
+    @property
+    def params(self):
+        return combine_params(self.trainable, self.frozen)
 
 
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    trainable, frozen = partition_params(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=params,
-        opt_state=tx.init(params),
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=tx.init(trainable),
     )
 
 
@@ -46,7 +71,8 @@ def make_train_step(
     """batch keys: inp (B,H,W,3), gt (B,H,W,1), clip_image (B,h,w,3),
     clip_mask (B,h,w,1), prefix, suffix, eot_indices, bank_features."""
 
-    def loss_fn(params, batch):
+    def loss_fn(trainable, frozen, batch):
+        params = combine_params(trainable, frozen)
         masks, edges = model.apply(
             params,
             batch["inp"],
@@ -62,14 +88,16 @@ def make_train_step(
 
     def train_step(state: TrainState, batch):
         (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.trainable, state.frozen, batch
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
         metrics = {"loss": total, **parts}
         return (
             state.replace(
-                step=state.step + 1, params=new_params, opt_state=new_opt_state
+                step=state.step + 1,
+                trainable=new_trainable,
+                opt_state=new_opt_state,
             ),
             metrics,
         )
