@@ -38,6 +38,7 @@ def assemble_cascade(
     tiny: bool = False,
     seed: int = 0,
     return_bank_builder: bool = False,
+    config: Optional[CascadeConfig] = None,
 ):
     """Build model + params + class bank, restoring whatever checkpoints exist.
 
@@ -47,7 +48,11 @@ def assemble_cascade(
     -> MaPLe prompt learner -> SAM backbone -> trained cascade (strict).
     Missing checkpoints leave random init (useful for smoke tests/benches).
     """
-    model, cfg = (build_tiny_cascade if tiny else build_full_cascade)(dtype=dtype)
+    if config is not None:
+        cfg = config
+        model = OVCOSCascade(cfg)
+    else:
+        model, cfg = (build_tiny_cascade if tiny else build_full_cascade)(dtype=dtype)
 
     token_embedding = None
     clip_tree = None

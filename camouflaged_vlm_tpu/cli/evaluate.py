@@ -123,6 +123,7 @@ def evaluate(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset-info", required=True, help="splitted_ovcamo.yaml with path keys")
+    p.add_argument("--config", default=None, help="model config yaml (configs/*.yaml)")
     p.add_argument("--split", default="test")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--output-dir", default="./eval_results")
@@ -144,8 +145,14 @@ def main():
     log(f"[eval] {len(index)} samples, {len(index.classes)} classes ({args.split})")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    config = None
+    if args.config:
+        from ..config import cascade_config_from_yaml
+
+        config, _ = cascade_config_from_yaml(args.config)
     model, cfg, params, bank = assemble_cascade(
         index.classes,
+        config=config,
         cascade_ckpt=args.cascade_ckpt,
         sam_ckpt=args.sam_ckpt,
         clip_ckpt=args.clip_ckpt,

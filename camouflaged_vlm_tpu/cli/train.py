@@ -43,6 +43,7 @@ from .evaluate import evaluate
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset-info", required=True)
+    p.add_argument("--config", default=None, help="model config yaml (configs/*.yaml)")
     p.add_argument("--save-dir", default="./save/ovcos_tpu")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=4, help="global batch")
@@ -79,8 +80,17 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     # Training conditions the CLIP pass on the TRAIN class split
     # (`/root/reference/train_ovcos_maskdecoder_edge.py:266`).
+    config = None
+    if args.config:
+        from ..config import cascade_config_from_yaml
+
+        config, train_hp = cascade_config_from_yaml(args.config)
+        for key in ("epochs", "batch_size", "lr", "eta_min", "epoch_val", "loss"):
+            if key in train_hp:
+                setattr(args, key.replace("-", "_"), train_hp[key])
     model, cfg, params, bank, make_bank = assemble_cascade(
         train_index.classes,
+        config=config,
         sam_ckpt=args.sam_ckpt,
         clip_ckpt=args.clip_ckpt,
         maple_ckpt=args.maple_ckpt,
