@@ -17,6 +17,7 @@ from PIL import Image
 
 from .ovcamo import OVCamoIndex, OVCamoSample
 from .transforms import (
+    clip_alpha_transform,
     clip_image_transform,
     clip_ones_alpha,
     mask_to_target,
@@ -124,5 +125,45 @@ def iter_train_batches(
                 "clip_mask": np.broadcast_to(
                     clip_ones_alpha(clip_size), (batch_size, clip_size, clip_size, 1)
                 ).copy(),
+                "label_id": np.asarray(label, np.int32),
+            }
+
+
+def iter_maple_train_batches(
+    index: OVCamoIndex,
+    batch_size: int,
+    rng: np.random.Generator,
+    clip_size: int = 336,
+    num_workers: int = 8,
+) -> Iterator[dict]:
+    """One epoch of (clip_image, GT-mask alpha, label) batches for MaPLe
+    prompt training — the capability behind the reference's dassl
+    `MaPLeAlphaCLIP(TrainerX)` (`/root/reference/cocotrainers/mapleAlphaCLIP.py:300-386`,
+    `parse_batch_train` :395-404), which conditions Alpha-CLIP on the
+    ground-truth mask and trains the prompt learner with cross-entropy.
+    """
+    order = rng.permutation(len(index.samples))
+
+    def load(i: int):
+        s = index.samples[int(i)]
+        img = Image.open(s.image_path).convert("RGB")
+        mask = Image.open(s.mask_path).convert("L")
+        img = maybe_rot90_to_match(img, mask)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+        return (
+            clip_image_transform(img, clip_size),
+            clip_alpha_transform(mask, clip_size),
+            s.class_id,
+        )
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = list(pool.map(load, order[start : start + batch_size]))
+            cimg, alpha, label = zip(*chunk)
+            yield {
+                "clip_image": np.stack(cimg),
+                "clip_alpha": np.stack(alpha),
                 "label_id": np.asarray(label, np.int32),
             }

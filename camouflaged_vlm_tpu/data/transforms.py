@@ -79,6 +79,17 @@ def clip_ones_alpha(n_px: int = 336) -> np.ndarray:
     return np.full((n_px, n_px, 1), ONES_ALPHA_VALUE, np.float32)
 
 
+def clip_alpha_transform(mask: Image.Image, n_px: int = 336) -> np.ndarray:
+    """(n_px, n_px, 1) fp32 alpha from a real mask: bicubic shorter-side
+    resize -> center crop -> /255 -> Normalize(0.5, 0.26) — the reference's
+    `mask_transform` (`/root/reference/alpha_clip_rw/alpha_clip.py:88-94`),
+    used when Alpha-CLIP is conditioned on a ground-truth mask (MaPLe prompt
+    training) rather than the all-ones stage-1 alpha."""
+    mask = _resize_shorter_side(mask.convert("L"), n_px, Image.BICUBIC)
+    arr = _center_crop(_to_float_array(mask), n_px)
+    return (arr - CLIP_ALPHA_MEAN) / CLIP_ALPHA_STD
+
+
 def maybe_rot90_to_match(img: Image.Image, mask: Image.Image) -> Image.Image:
     """The reference rotates size-mismatched images 90° CCW
     (`/root/reference/datasets/wrappers.py:56-59`)."""

@@ -8,3 +8,8 @@ from .losses import (
 )
 from .optim import make_optimizer, cosine_epoch_schedule, trainable_mask
 from .train_step import TrainState, make_train_step, create_train_state
+from .maple import (
+    MAPLE_TRAINABLE_SUBTREES,
+    make_maple_optimizer,
+    make_maple_train_step,
+)

@@ -29,9 +29,18 @@ from .losses import segmentation_loss
 from .optim import trainable_mask
 
 
-def partition_params(params) -> Tuple[Dict, Dict]:
-    """Split a params pytree into (trainable, frozen) flat-dict halves."""
-    labels = traverse_util.flatten_dict(trainable_mask(params))
+def partition_params(params, trainable_subtrees=None) -> Tuple[Dict, Dict]:
+    """Split a params pytree into (trainable, frozen) flat-dict halves.
+
+    `trainable_subtrees` defaults to the cascade freeze rule
+    (optim.TRAINABLE_SUBTREES); the MaPLe prompt trainer passes
+    ('prompt_learner',) instead."""
+    if trainable_subtrees is None:
+        labels = traverse_util.flatten_dict(trainable_mask(params))
+    else:
+        labels = traverse_util.flatten_dict(
+            trainable_mask(params, trainable_subtrees)
+        )
     flat = traverse_util.flatten_dict(params)
     train = {k: v for k, v in flat.items() if labels[k] == "train"}
     frozen = {k: v for k, v in flat.items() if labels[k] == "freeze"}
@@ -53,8 +62,10 @@ class TrainState(struct.PyTreeNode):
         return combine_params(self.trainable, self.frozen)
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
-    trainable, frozen = partition_params(params)
+def create_train_state(
+    params, tx: optax.GradientTransformation, trainable_subtrees=None
+) -> TrainState:
+    trainable, frozen = partition_params(params, trainable_subtrees)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         trainable=trainable,

@@ -165,3 +165,69 @@ def test_orbax_checkpoint_roundtrip(tiny_train_setup, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
     assert int(restored.step) == int(state.step)
+
+
+def test_maple_train_step_updates_only_prompt_learner(tiny_train_setup, rng):
+    """MaPLe prompt training (reference dassl trainer equivalent,
+    cocotrainers/mapleAlphaCLIP.py:300-386): CE loss decreases and ONLY
+    prompt-learner params move."""
+    from camouflaged_vlm_tpu.train import (
+        MAPLE_TRAINABLE_SUBTREES,
+        make_maple_optimizer,
+        make_maple_train_step,
+    )
+
+    cfg, model, bank, params = tiny_train_setup
+    tx = make_maple_optimizer(base_lr=0.01, total_epochs=5, steps_per_epoch=2)
+    state = create_train_state(params, tx, MAPLE_TRAINABLE_SUBTREES)
+
+    class ClipView:
+        @staticmethod
+        def apply(p, img, alpha, pre, suf, eot, feats):
+            return model.apply(
+                p, img, alpha, pre, suf, eot, feats,
+                method=lambda m, *a: m.clip_model(*a),
+            )
+
+    step = jax.jit(make_maple_train_step(ClipView, tx))
+    B = 2
+    batch = {
+        "clip_image": jnp.asarray(
+            rng.standard_normal((B, cfg.clip_size, cfg.clip_size, 3)), jnp.float32
+        ),
+        "clip_alpha": jnp.asarray(
+            rng.standard_normal((B, cfg.clip_size, cfg.clip_size, 1)), jnp.float32
+        ),
+        "label_id": jnp.asarray([0, 1], jnp.int32),
+        **bank,
+    }
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def flat(t):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(t)[0]
+        }
+
+    before, after = flat(params), flat(new_state.params)
+    # frozen: CLIP towers, SAM encoder, the cascade decoder
+    for k in (
+        "params/clip_model/image_encoder/conv1/kernel",
+        "params/image_encoder/block_0/attn/qkv/kernel",
+        "params/mask_decoder/iou_token",
+        "params/clip_model/logit_scale",
+    ):
+        np.testing.assert_array_equal(before[k], after[k])
+    # trainable: prompt learner ctx + projections
+    assert np.abs(before["params/clip_model/prompt_learner/ctx"]
+                  - after["params/clip_model/prompt_learner/ctx"]).max() > 0
+    assert np.abs(before["params/clip_model/prompt_learner/proj/kernel"]
+                  - after["params/clip_model/prompt_learner/proj/kernel"]).max() > 0
+
+    losses = [float(metrics["loss"])]
+    s = new_state
+    for _ in range(4):
+        s, m = step(s, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
