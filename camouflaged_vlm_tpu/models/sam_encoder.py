@@ -34,9 +34,14 @@ import flax.linen as nn
 
 from ..ops.norms import LayerNormFP32
 from ..ops.window import window_partition, window_unpartition
-from ..ops.rel_pos import attention_with_decomposed_rel_pos
+from ..ops.rel_pos import attention_with_decomposed_rel_pos, get_rel_pos_table
 from ..ops.aug_attention import augment_qk, attention_xla
-from ..ops.flash_attention import flash_attention_fullk
+from ..ops.flash_attention import (
+    flash_attention_fullk,
+    flash_attention_relpos,
+    make_rel_scatter,
+    xla_attention_relpos,
+)
 from ..ops.fft_prompt import fft_highpass
 
 
@@ -59,11 +64,14 @@ class SamEncoderConfig:
     # numerics
     dtype: jnp.dtype = jnp.float32
     # attention implementation:
+    #   'flash'     — Pallas kernel for windowed AND global blocks with the
+    #                 rel-pos bias regenerated in-kernel (production path;
+    #                 falls back to the XLA equivalent on CPU)
     #   'aug_flash' — rel-pos as augmented features; Pallas kernel for global
-    #                 blocks, XLA for windows (TPU production path)
+    #                 blocks, XLA for windows
     #   'aug_xla'   — augmented features, XLA attention everywhere
     #   'reference' — dense bias materialisation (parity/debug path)
-    attn_impl: str = "aug_flash"
+    attn_impl: str = "flash"
     # tanh-approximated GELU in the ViT MLPs: ~35% faster MLP on the VPU
     # (erf is ~3ms/block at batch 8); OFF by default for exact reference
     # parity — enable once segmentation quality is validated on checkpoints.
@@ -142,11 +150,43 @@ class Attention(nn.Module):
             out = attention_with_decomposed_rel_pos(
                 q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
             )
+        elif self.attn_impl == "flash" and self.use_rel_pos:
+            # Production path: the bias never exists outside the kernel —
+            # per-query [rel_h | rel_w] rides in as a (N, H+W) side input and
+            # the kernel scatters it onto keys with one constant matmul.
+            Rh = get_rel_pos_table(H, H, rel_pos_h)  # (H, H, hd)
+            Rw = get_rel_pos_table(W, W, rel_pos_w)  # (W, W, hd)
+            rq = q.reshape(B, self.num_heads, H, W, head_dim)
+            # bias uses the UNSCALED q (reference semantics)
+            rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, Rh.astype(q.dtype))
+            rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, Rw.astype(q.dtype))
+            rel = jnp.concatenate(
+                [
+                    rel_h.reshape(B, self.num_heads, N, H),
+                    rel_w.reshape(B, self.num_heads, N, W),
+                ],
+                axis=-1,
+            )
+            sel = make_rel_scatter(H, W, dtype=q.dtype)
+            qs = q * jnp.asarray(scale, q.dtype)
+            if jax.default_backend() == "cpu":
+                out = xla_attention_relpos(qs, k, v, rel, sel)
+            else:
+                d_p = ((head_dim + 127) // 128) * 128
+                pad = ((0, 0), (0, 0), (0, 0), (0, d_p - head_dim))
+                out = flash_attention_relpos(
+                    jnp.pad(qs, pad).reshape(B * self.num_heads, N, d_p),
+                    jnp.pad(k, pad).reshape(B * self.num_heads, N, d_p),
+                    jnp.pad(v, pad).reshape(B * self.num_heads, N, d_p),
+                    rel.reshape(B * self.num_heads, N, H + W),
+                    sel,
+                )
+                out = out.reshape(B, self.num_heads, N, d_p)[..., :head_dim]
         else:
             q_aug, k_aug = augment_qk(
                 q, k, rel_pos_h, rel_pos_w, (H, W), scale
             )
-            use_flash = self.attn_impl == "aug_flash" and N >= 1024
+            use_flash = self.attn_impl in ("aug_flash", "flash") and N >= 1024
             if use_flash:
                 d_aug = q_aug.shape[-1]
                 d_v = ((head_dim + 127) // 128) * 128

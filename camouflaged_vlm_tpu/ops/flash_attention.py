@@ -1,17 +1,28 @@
-"""Pallas flash attention for the SAM global blocks (4096 tokens).
+"""Pallas flash attention for the SAM ViT blocks (windowed AND global).
 
-Design: the rel-pos bias is folded into augmented q'/k' features
-(ops/aug_attention.py), so this kernel is plain softmax attention — but with
-*different* q/k and v head dims (d_qk is the augmented 256, d_v is 128).
+Two kernels:
 
-At 4096 tokens the whole K'/V fit comfortably in VMEM (K' 4096x256 bf16 =
-2 MB, V 4096x128 bf16 = 1 MB), so instead of online softmax over KV tiles we
-tile ONLY the query dimension and compute each row's softmax exactly in one
-shot — simpler, exact, and the (block_q x seq) score tile (128x4096 fp32 =
-2 MB) never touches HBM. This is the whole point vs the XLA path, which
-materialises (B, heads, 4096, 4096) logits+probs in HBM (4.3 GB at batch 4).
+  * `flash_attention_relpos` — the production path. The ViTDet decomposed
+    rel-pos bias is regenerated INSIDE the kernel from its rank structure
+    (`bias[q,k] = rel_h[q, k//W] + rel_w[q, k%W]`,
+    `/root/reference/models/mmseg/models/sam/image_encoder.py:589-625`):
+    the caller passes `rel = [rel_h | rel_w]` (seq x (H+W)) and a constant
+    0/1 scatter matrix `sel` ((H+W) x seq), and the kernel adds
+    `rel @ sel` to the q@k^T scores — one extra MXU matmul with a
+    (H+W)=128 contraction for global blocks, instead of materialising
+    augmented 256-wide q'/k' (or worse, a seq x seq bias) in HBM.
 
-Grid: (B*heads, seq/block_q) — both parallel.
+  * `flash_attention_fullk` — plain softmax attention over pre-augmented
+    features (ops/aug_attention.py); kept as the fallback/ablation path.
+
+At <=4096 tokens the whole K/V fit comfortably in VMEM (K 4096x128 bf16 =
+1 MB), so instead of online softmax over KV tiles we tile ONLY the query
+dimension and compute each row's softmax exactly in one shot — simpler,
+exact, and the (block_q x seq) score tile (128x4096 fp32 = 2 MB) never
+touches HBM. The XLA path materialises (B, heads, seq, seq) logits+probs in
+HBM (4.3 GB at batch 4 global; ~1 GB per windowed block at batch 8).
+
+Grid: (B*heads[*windows], seq/block_q) — both parallel.
 """
 
 from __future__ import annotations
@@ -22,6 +33,106 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _relpos_kernel(q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+    q = q_ref[0]      # (block_q, d) — pre-scaled
+    k = k_ref[0]      # (seq, d)
+    v = v_ref[0]      # (seq, d_v)
+    rel = rel_ref[0]  # (block_q, H+W) — [rel_h | rel_w] for these q rows
+    sel = sel_ref[:]  # (H+W, seq) 0/1: scatter rel columns onto key positions
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, seq)
+    s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / l).astype(v.dtype)
+    o_ref[0] = jax.lax.dot(p, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def make_rel_scatter(H: int, W: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """((H+W), H*W) 0/1 matrix: row a scatters rel_h[:, a] to keys with
+    k//W == a (first H rows) / rel_w[:, b] to keys with k%W == b (last W).
+    Built in numpy so it embeds as a literal constant in the program."""
+    import numpy as np
+
+    n = H * W
+    kh = np.arange(n) // W
+    kw = np.arange(n) % W
+    sel_h = kh[None, :] == np.arange(H)[:, None]
+    sel_w = kw[None, :] == np.arange(W)[:, None]
+    return jnp.asarray(np.concatenate([sel_h, sel_w], axis=0), dtype)
+
+
+def xla_attention_relpos(
+    q: jnp.ndarray,    # (..., N, d) — pre-scaled
+    k: jnp.ndarray,    # (..., N, d)
+    v: jnp.ndarray,    # (..., N, d_v)
+    rel: jnp.ndarray,  # (..., N, H+W)
+    sel: jnp.ndarray,  # (H+W, N)
+) -> jnp.ndarray:
+    """XLA equivalent of `flash_attention_relpos` (CPU/tests fallback)."""
+    s = jnp.einsum("...qc,...kc->...qk", q, k, preferred_element_type=jnp.float32)
+    s = s + jnp.einsum(
+        "...qr,rk->...qk", rel, sel.astype(rel.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "...qk,...kc->...qc", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def flash_attention_relpos(
+    q: jnp.ndarray,    # (B, N, d) — pre-scaled by sm_scale
+    k: jnp.ndarray,    # (B, N, d)
+    v: jnp.ndarray,    # (B, N, d_v)
+    rel: jnp.ndarray,  # (B, N, H+W) — [rel_h | rel_w] per query
+    sel: jnp.ndarray,  # (H+W, N) from make_rel_scatter
+    block_q: int = 128,
+) -> jnp.ndarray:
+    B, N, d = q.shape
+    d_v = v.shape[-1]
+    hw = rel.shape[-1]
+    if N % block_q != 0:
+        block_q = N  # small (windowed) sequences: one q tile
+    grid = (B, N // block_q)
+    return pl.pallas_call(
+        _relpos_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, d_v), v.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, d), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, d_v), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, hw), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hw, N), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d_v), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * N * (d + d_v + hw),
+            bytes_accessed=(q.size + k.size + v.size + rel.size) * 2 + sel.size * 2,
+            transcendentals=B * N * N,
+        ),
+    )(q, k, v, rel, sel)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref):

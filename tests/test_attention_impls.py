@@ -71,3 +71,102 @@ def test_flash_kernel_matches_xla(rng, monkeypatch):
     )
     want = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("H,W", [(4, 4), (3, 5)])
+def test_xla_relpos_equals_reference(rng, H, W):
+    """rel@sel scatter formulation == dense decomposed-bias attention."""
+    from camouflaged_vlm_tpu.ops.flash_attention import (
+        make_rel_scatter,
+        xla_attention_relpos,
+    )
+    from camouflaged_vlm_tpu.ops.rel_pos import get_rel_pos_table
+
+    B, heads, d = 2, 2, 16
+    n = H * W
+    q = rng.standard_normal((B, heads, n, d)).astype(np.float32)
+    k = rng.standard_normal((B, heads, n, d)).astype(np.float32)
+    v = rng.standard_normal((B, heads, n, d)).astype(np.float32)
+    rel_h = (rng.standard_normal((2 * H - 1, d)) * 0.1).astype(np.float32)
+    rel_w = (rng.standard_normal((2 * W - 1, d)) * 0.1).astype(np.float32)
+    scale = d ** -0.5
+
+    want = attention_with_decomposed_rel_pos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(rel_h), jnp.asarray(rel_w), (H, W), scale,
+    )
+
+    Rh = get_rel_pos_table(H, H, jnp.asarray(rel_h))
+    Rw = get_rel_pos_table(W, W, jnp.asarray(rel_w))
+    rq = jnp.asarray(q).reshape(B, heads, H, W, d)
+    rh = jnp.einsum("bnhwc,hkc->bnhwk", rq, Rh).reshape(B, heads, n, H)
+    rw = jnp.einsum("bnhwc,wkc->bnhwk", rq, Rw).reshape(B, heads, n, W)
+    rel = jnp.concatenate([rh, rw], axis=-1)
+    sel = make_rel_scatter(H, W, dtype=jnp.float32)
+    got = xla_attention_relpos(jnp.asarray(q) * scale, jnp.asarray(k), jnp.asarray(v), rel, sel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_relpos_kernel_matches_xla(rng, monkeypatch):
+    """Pallas in-kernel-bias attention (interpret mode) == XLA formulation."""
+    from camouflaged_vlm_tpu.ops.flash_attention import (
+        make_rel_scatter,
+        xla_attention_relpos,
+    )
+
+    orig = fa.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    H = W = 16
+    B, N, d = 2, H * W, 128
+    q = rng.standard_normal((B, N, d)).astype(np.float32)
+    k = (rng.standard_normal((B, N, d)) * 0.1).astype(np.float32)
+    v = rng.standard_normal((B, N, d)).astype(np.float32)
+    rel = (rng.standard_normal((B, N, H + W)) * 0.1).astype(np.float32)
+    sel = make_rel_scatter(H, W, dtype=jnp.float32)
+    got = fa.flash_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel), sel,
+        block_q=128,
+    )
+    want = xla_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel), sel
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_relpos_single_tile_odd_seq(rng, monkeypatch):
+    """Windowed shape: N=196 (not a multiple of block_q) runs as one q tile."""
+    from camouflaged_vlm_tpu.ops.flash_attention import (
+        make_rel_scatter,
+        xla_attention_relpos,
+    )
+
+    orig = fa.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    H = W = 14
+    B, N, d = 2, H * W, 128
+    q = rng.standard_normal((B, N, d)).astype(np.float32)
+    k = (rng.standard_normal((B, N, d)) * 0.1).astype(np.float32)
+    v = rng.standard_normal((B, N, d)).astype(np.float32)
+    rel = (rng.standard_normal((B, N, H + W)) * 0.1).astype(np.float32)
+    sel = make_rel_scatter(H, W, dtype=jnp.float32)
+    got = fa.flash_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel), sel
+    )
+    want = xla_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel), sel
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

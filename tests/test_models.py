@@ -183,3 +183,26 @@ def test_cascade_jit_deterministic(tiny_cascade):
     p1 = f(params, *args)
     p2 = f(params, *args)
     np.testing.assert_array_equal(np.asarray(p1[0]), np.asarray(p2[0]))
+
+
+def test_encoder_attn_impls_agree():
+    """'flash' (rel@sel path; XLA fallback on CPU) == 'reference' dense bias
+    through the full tiny encoder (windowed + global blocks)."""
+    from camouflaged_vlm_tpu.models.sam_encoder import ImageEncoderViT, SamEncoderConfig
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    outs = {}
+    params = None
+    for impl in ("reference", "flash", "aug_xla"):
+        cfg = SamEncoderConfig.tiny(attn_impl=impl)
+        enc = ImageEncoderViT(cfg)
+        if params is None:
+            params = enc.init(jax.random.PRNGKey(0), x)
+            params = jax.tree.map(
+                lambda p: p + 0.01 * np.random.default_rng(1).standard_normal(p.shape).astype(p.dtype),
+                params,
+            )
+        outs[impl] = np.asarray(enc.apply(params, x))
+    np.testing.assert_allclose(outs["flash"], outs["reference"], atol=1e-4)
+    np.testing.assert_allclose(outs["aug_xla"], outs["reference"], atol=1e-4)

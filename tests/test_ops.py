@@ -149,3 +149,14 @@ def test_max_pool_and_edge_match_torch(rng):
     dilated = F.max_pool2d(mt, 5, stride=1, padding=2)
     want_edge = ((dilated - eroded) > 0).float().permute(0, 2, 3, 1).numpy()
     np.testing.assert_array_equal(got_edge, want_edge)
+
+
+def test_fft_highpass_matmul_matches_fft_oracle(rng):
+    """Circulant-matmul formulation == direct jnp.fft path (odd/even sizes)."""
+    from camouflaged_vlm_tpu.ops.fft_prompt import fft_highpass_fft
+
+    for H, W in [(64, 64), (32, 48)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, 3)), jnp.float32)
+        got = np.asarray(fft_highpass(x, 0.25))
+        want = np.asarray(fft_highpass_fft(x, 0.25))
+        np.testing.assert_allclose(got, want, atol=1e-5)
