@@ -39,10 +39,13 @@ from ..ops.aug_attention import augment_qk, attention_xla
 from ..ops.flash_attention import (
     flash_attention_fullk,
     flash_attention_relpos,
+    flash_qkv_relpos_global,
+    flash_qkv_relpos_windows,
     make_rel_scatter,
     xla_attention_relpos,
 )
 from ..ops.fft_prompt import fft_highpass
+from ..ops.linear import linear_pallas, proj_from_heads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,10 +75,12 @@ class SamEncoderConfig:
     #   'aug_xla'   — augmented features, XLA attention everywhere
     #   'reference' — dense bias materialisation (parity/debug path)
     attn_impl: str = "flash"
-    # tanh-approximated GELU in the ViT MLPs: ~35% faster MLP on the VPU
-    # (erf is ~3ms/block at batch 8); OFF by default for exact reference
-    # parity — enable once segmentation quality is validated on checkpoints.
-    gelu_approximate: bool = False
+    # tanh-approximated GELU in the ViT MLPs. The erf GELU rides inside the
+    # MLP matmul fusions and stalls the MXU (~35% slower MLP); tanh's max
+    # deviation (~1e-3 relative) is below bf16 rounding noise, so it is ON
+    # by default. Set False (with dtype=float32, attn_impl='reference') for
+    # bit-faithful parity runs.
+    gelu_approximate: bool = True
     # rematerialise block activations in the backward pass (jax.checkpoint):
     # full ViT-H activations exceed HBM beyond batch 1-2 without it. Costs
     # ~1/3 extra forward FLOPs during training; no effect on inference.
@@ -105,6 +110,53 @@ class SamEncoderConfig:
         return cls(**defaults)
 
 
+class PallasDense(nn.Module):
+    """Dense layer computed by the Pallas matmul kernel (param tree identical
+    to nn.Dense). Exists so the attention kernels' operands are produced in
+    the default layout — an XLA conv-fusion producer forces a full layout
+    copy of the qkv tensor in front of every pallas_call (ops/linear.py)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    block_m: int = 512
+    block_n: int = 1920
+
+    @nn.compact
+    def __call__(self, x2d: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x2d.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return linear_pallas(
+            x2d, kernel.astype(self.dtype), bias.astype(self.dtype)[None],
+            block_m=self.block_m, block_n=self.block_n,
+        )
+
+
+class PallasHeadProj(nn.Module):
+    """Output projection consuming the attention kernels' head-leading
+    (B, heads, T, S, d) layout directly (param tree identical to nn.Dense)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x5d: jnp.ndarray) -> jnp.ndarray:
+        B, heads, T, S, d = x5d.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (heads * d, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = proj_from_heads(
+            x5d,
+            kernel.astype(self.dtype).reshape(heads, d, self.features),
+            bias.astype(self.dtype)[None],
+        )
+        return y  # (B, T, S, features)
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed rel-pos bias.
 
@@ -119,6 +171,7 @@ class Attention(nn.Module):
     input_size: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "aug_flash"
+    num_windows: int = 1  # windows folded into the batch dim (set by Block)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,10 +179,19 @@ class Attention(nn.Module):
         N = H * W
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, heads, N, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        use_fused = (
+            self.attn_impl == "flash"
+            and self.use_rel_pos
+            and self.num_heads % 8 == 0
+            and jax.default_backend() != "cpu"
+        )
+        if use_fused:
+            bm = N if N <= 512 else 512
+            qkv = PallasDense(
+                3 * self.dim, dtype=self.dtype, block_m=bm, name="qkv"
+            )(x.reshape(B * N, self.dim)).reshape(B, H, W, 3 * self.dim)
+        else:
+            qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
 
         rel_pos_h = rel_pos_w = None
         if self.use_rel_pos:
@@ -145,6 +207,57 @@ class Attention(nn.Module):
                 (2 * self.input_size[1] - 1, head_dim),
                 jnp.float32,
             )
+
+        if use_fused:
+            # Fused path: q/k/v stay packed in the qkv projection output,
+            # viewed as (..., 3*heads, hd) — the kernels slice head groups
+            # via BlockSpec index maps, so no transpose/pad/copy of the qkv
+            # tensor ever materialises, and the output lands a free reshape
+            # away from the layout `proj` consumes.
+            Rh = get_rel_pos_table(H, H, rel_pos_h)  # (H, H, hd)
+            Rw = get_rel_pos_table(W, W, rel_pos_w)
+            qh = qkv[..., : self.dim].reshape(B, H, W, self.num_heads, head_dim)
+            # bias uses the UNSCALED q (reference semantics)
+            rel_h = jnp.einsum("bhwnc,hkc->bhwnk", qh, Rh.astype(qkv.dtype))
+            rel_w = jnp.einsum("bhwnc,wkc->bhwnk", qh, Rw.astype(qkv.dtype))
+            rel = jnp.concatenate([rel_h, rel_w], axis=-1)  # (B,H,W,heads,H+W)
+            sel = make_rel_scatter(H, W, dtype=qkv.dtype)
+            nwin = self.num_windows
+            if nwin > 1 or N <= 512:
+                out = flash_qkv_relpos_windows(
+                    qkv.reshape(B // nwin, nwin, N, 3 * self.num_heads, head_dim),
+                    rel.reshape(B // nwin, nwin, N, self.num_heads, H + W),
+                    sel, scale,
+                )  # (B/nwin, heads, nwin, Nw, hd) — already proj-tiled 5D
+            else:
+                # Global blocks (4 of 32): full-N K/V per head exceed VMEM for
+                # the packed layout, so split q/k/v here and use the q-tiled
+                # 3D kernel (one relayout; only 4 blocks pay it).
+                qkv_s = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+                qkv_s = qkv_s.transpose(2, 0, 3, 1, 4)
+                q, k, v = qkv_s[0], qkv_s[1], qkv_s[2]
+                qs = q * jnp.asarray(scale, q.dtype)
+                d_p = ((head_dim + 127) // 128) * 128
+                pad = ((0, 0), (0, 0), (0, 0), (0, d_p - head_dim))
+                out = flash_attention_relpos(
+                    jnp.pad(qs, pad).reshape(B * self.num_heads, N, d_p),
+                    jnp.pad(k, pad).reshape(B * self.num_heads, N, d_p),
+                    jnp.pad(v, pad).reshape(B * self.num_heads, N, d_p),
+                    jnp.moveaxis(rel.reshape(B, N, self.num_heads, H + W), 2, 1)
+                    .reshape(B * self.num_heads, N, H + W),
+                    sel,
+                )
+                out = out.reshape(B, self.num_heads, N, d_p)[..., :head_dim]
+                tile = 512 if N % 512 == 0 else N
+                out = out.reshape(B, self.num_heads, N // tile, tile, head_dim)
+            # head-leading (B', heads, T, S, hd) goes straight into the
+            # projection kernel — the head moveaxis never materialises.
+            y = PallasHeadProj(self.dim, dtype=self.dtype, name="proj")(out)
+            return y.reshape(B, H, W, self.dim)
+
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, heads, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
         if self.attn_impl == "reference":
             out = attention_with_decomposed_rel_pos(
@@ -229,9 +342,13 @@ class Block(nn.Module):
         shortcut = x
         x = LayerNormFP32(eps=1e-6, name="norm1")(x)
         H, W = x.shape[1], x.shape[2]
+        num_windows = 1
         if self.window_size > 0:
             x, pad_hw = window_partition(x, self.window_size)
             attn_size = (self.window_size, self.window_size)
+            num_windows = (pad_hw[0] // self.window_size) * (
+                pad_hw[1] // self.window_size
+            )
         else:
             attn_size = (H, W)
         x = Attention(
@@ -241,6 +358,7 @@ class Block(nn.Module):
             input_size=attn_size,
             dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
+            num_windows=num_windows,
             name="attn",
         )(x)
         if self.window_size > 0:

@@ -135,6 +135,182 @@ def flash_attention_relpos(
     )(q, k, v, rel, sel)
 
 
+def _qkv_relpos_windows_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+    # Per-head loop with the WINDOW axis as the (single, leading) matmul
+    # batch dim — Mosaic's tpu.matmul supports exactly one batch dim and it
+    # must lead; batching several windows per dot keeps the MXU fed (a bare
+    # (196, 80) matmul measured 13 TFLOP/s). The bias term contracts rel
+    # against the constant scatter with NO batch dims (free dims compose),
+    # so it lowers as one (wg*Nw, hw) x (hw, Nw) matmul.
+    sel = sel_ref[:]  # (hw, Nw)
+    for h in range(head_group):
+        q = q_ref[0, :, :, h, :] * jnp.asarray(scale, q_ref.dtype)  # (wg, Nw, d)
+        k = k_ref[0, :, :, h, :]
+        v = v_ref[0, :, :, h, :]
+        rel = rel_ref[0, :, :, h, :]  # (wg, Nw, hw)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (wg, Nw, Nw)
+        s += jax.lax.dot_general(
+            rel, sel, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (wg, Nw, Nw)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (wg, Nw, d)
+        # store indexes LEADING axes only (mid-axis unit-dim stores hit an
+        # unsupported Mosaic vector reshape)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def flash_qkv_relpos_windows(
+    qkv: jnp.ndarray,  # (B, nwin, Nw, 3*heads, d) — 5D view of the packed Dense
+    rel: jnp.ndarray,  # (B, nwin, Nw, heads, H+W) — [rel_h | rel_w] per query
+    sel: jnp.ndarray,  # (H+W, Nw) from make_rel_scatter
+    scale: float,
+    win_group: int = 5,
+    head_group: int = 8,
+) -> jnp.ndarray:
+    """Windowed rel-pos attention straight off the packed qkv projection.
+
+    The qkv Dense output is passed as a free 5D reshape (trailing-dim split);
+    head/role selection happens via BlockSpec index maps on the head axis
+    (blocks of `head_group`, Mosaic-tileable since 8 | head_group), so NO
+    transpose/pad/copy of the ~300 MB qkv tensor ever materialises (the XLA
+    formulation spent ~4 ms/block on those). One program covers `win_group`
+    windows x `head_group` heads. Output lands head-leading as
+    (B, heads, nwin, Nw, d) — exactly what `proj_from_heads` consumes.
+    """
+    B, nwin, Nw, three_heads, d = qkv.shape
+    heads = three_heads // 3
+    hw = sel.shape[0]
+    if nwin % win_group != 0:
+        win_group = nwin
+    if heads % head_group != 0:
+        head_group = heads  # tests/tiny shapes (TPU callers gate on 8 | heads)
+    n_hg = heads // head_group
+    kernel = functools.partial(_qkv_relpos_windows_kernel, scale, head_group)
+    blk = lambda role: (
+        lambda b, w, g: (b, w, 0, role * n_hg + g, 0)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, nwin // win_group, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, win_group, Nw, head_group, d), blk(0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, head_group, d), blk(1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, head_group, d), blk(2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, head_group, hw),
+                             lambda b, w, g: (b, w, 0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hw, Nw), lambda b, w, g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, win_group, Nw, d),
+                lambda b, w, g: (b, g, w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nwin * Nw * Nw * (2 * d + hw),
+            bytes_accessed=qkv.size * 2 + rel.size * 2,
+            transcendentals=B * heads * nwin * Nw * Nw,
+        ),
+    )(qkv, qkv, qkv, rel, sel)
+
+
+def _qkv_relpos_global_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+    sel = sel_ref[:]  # (hw, N)
+    for h in range(head_group):
+        q = q_ref[0, :, h, :] * jnp.asarray(scale, q_ref.dtype)  # (block_q, d)
+        k = k_ref[0, :, h, :]      # (N, d)
+        v = v_ref[0, :, h, :]
+        rel = rel_ref[0, :, h, :]  # (block_q, hw)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def flash_qkv_relpos_global(
+    qkv: jnp.ndarray,  # (B, N, 3*heads, d) — 4D view of the packed Dense
+    rel: jnp.ndarray,  # (B, N, heads, H+W)
+    sel: jnp.ndarray,  # (H+W, N)
+    scale: float,
+    block_q: int = 256,
+    head_group: int = 8,
+) -> jnp.ndarray:
+    """Global-attention sibling of `flash_qkv_relpos_windows` (q tiled).
+
+    Requires heads % head_group == 0 (head_group % 8 == 0 for Mosaic block
+    tiling); ViT-H has 16 heads. Callers fall back to the XLA path otherwise.
+    """
+    B, N, three_heads, d = qkv.shape
+    heads = three_heads // 3
+    hw = sel.shape[0]
+    if N % block_q != 0:
+        block_q = N
+    if heads % head_group != 0:
+        head_group = heads  # tests/tiny shapes (TPU callers gate on 8 | heads)
+    n_hg = heads // head_group
+    kernel = functools.partial(_qkv_relpos_global_kernel, scale, head_group)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, N, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, n_hg, N // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, head_group, d),
+                             lambda b, g, i: (b, i, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, head_group, d),
+                             lambda b, g, i: (b, 0, n_hg + g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, head_group, d),
+                             lambda b, g, i: (b, 0, 2 * n_hg + g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, head_group, hw),
+                             lambda b, g, i: (b, i, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hw, N), lambda b, g, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, block_q, d), lambda b, g, i: (b, g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * N * N * (2 * d + hw),
+            bytes_accessed=qkv.size * 2 + rel.size * 2,
+            transcendentals=B * heads * N * N,
+        ),
+    )(qkv, qkv, qkv, rel, sel)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref):
     q = q_ref[0]  # (block_q, d_qk)
     k = k_ref[0]  # (seq, d_qk)

@@ -1,0 +1,147 @@
+"""Pallas linear layers for the ViT attention data path.
+
+Why these exist: XLA's convolution fusions prefer batch-minor output layouts,
+and `pallas_call` constrains its operands to the default (row-major) layout —
+so feeding an XLA-produced qkv projection into the attention kernels makes
+XLA insert a full layout copy + reshape of the ~300 MB qkv tensor per block
+(measured ~2.9 ms/block at batch 8). Producing qkv with a Pallas matmul keeps
+everything in the default layout: the 5D head-view reshape becomes a free
+bitcast and the copies vanish. Symmetrically, `proj_from_heads` consumes the
+attention kernels' head-leading (B, heads, M, d) output directly, folding the
+moveaxis + proj-input relayout into the projection matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _linear_kernel(activation, x_ref, w_ref, b_ref, o_ref):
+    acc = jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    )  # (bm, bn)
+    acc += b_ref[:].astype(jnp.float32)
+    if activation == "gelu_tanh":
+        acc = jax.nn.gelu(acc, approximate=True)
+    elif activation == "gelu":
+        acc = jax.nn.gelu(acc, approximate=False)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _pick_block(M: int, target: int) -> int:
+    """Largest multiple-of-8 divisor of M that is <= target (Mosaic needs the
+    second-to-last block dim divisible by 8 or equal to the array dim)."""
+    if M % 8 != 0 or M <= target:
+        return M
+    best = 8
+    for bm in range(8, target + 1, 8):
+        if M % bm == 0:
+            best = bm
+    return best
+
+
+def linear_pallas(
+    x: jnp.ndarray,   # (M, K)
+    w: jnp.ndarray,   # (K, N)
+    b: jnp.ndarray,   # (1, N)
+    block_m: int = 512,
+    block_n: int = 1920,
+    activation: str | None = None,
+) -> jnp.ndarray:
+    """out = activation(x @ w + b), tiled (block_m, K) x (K, block_n).
+
+    Grid is (N-tiles, M-tiles) with M innermost so each weight column block
+    stays VMEM-resident across the whole M sweep.
+    """
+    M, K = x.shape
+    N = w.shape[1]
+    block_m = _pick_block(M, block_m)
+    if N % block_n != 0:
+        block_n = N
+    kernel = functools.partial(_linear_kernel, activation)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(N // block_n, M // block_m),
+            in_specs=[
+                pl.BlockSpec((block_m, K), lambda n, m: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_n), lambda n, m: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda n, m: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, block_n), lambda n, m: (m, n), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=(x.size + M * N) * x.dtype.itemsize
+            + w.size * w.dtype.itemsize * max(1, M // block_m // 8),
+            transcendentals=M * N if activation else 0,
+        ),
+    )(x, w, b)
+
+
+def _proj_kernel(heads, x_ref, w_ref, b_ref, o_ref):
+    # x: (1, heads, 1, S, d); w: (heads, d, out) — reads index LEADING axes
+    acc = b_ref[:].astype(jnp.float32)  # (1, out) broadcasts over S
+    for h in range(heads):
+        acc = acc + jax.lax.dot(
+            x_ref[0, h, 0], w_ref[h], preferred_element_type=jnp.float32
+        )
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def proj_from_heads(
+    x: jnp.ndarray,   # (B, heads, T, S, d) — attention kernel output layout,
+                      # M tiled as T x S (S = window length or a 512-row tile)
+    w: jnp.ndarray,   # (heads, d, out) — reshaped (heads*d, out) projection
+    b: jnp.ndarray,   # (1, out)
+) -> jnp.ndarray:
+    """out[b, t, s, :] = sum_h x[b, h, t, s] @ w[h] + bias -> (B, T, S, out).
+
+    Folds the head-leading -> feature-contiguous moveaxis into the projection
+    matmul: the relayout never materialises in HBM. The (S, d) trailing block
+    dims equal the array dims, so any S (e.g. 196) is Mosaic-tileable.
+    """
+    B, heads, T, S, d = x.shape
+    out = w.shape[-1]
+    kernel = functools.partial(_proj_kernel, heads)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, S, out), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec((1, heads, 1, S, d), lambda b_, t: (b_, 0, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((heads, d, out), lambda b_, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, out), lambda b_, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, S, out), lambda b_, t: (b_, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * S * heads * d * out,
+            bytes_accessed=(x.size + B * T * S * out) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, w, b)

@@ -170,3 +170,67 @@ def test_flash_relpos_single_tile_odd_seq(rng, monkeypatch):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel), sel
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def _interp(monkeypatch):
+    orig = fa.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+
+def _qkv_oracle(qkv, rel, sel, heads, d, scale):
+    """Unpack the packed qkv and run the XLA rel@sel attention."""
+    from camouflaged_vlm_tpu.ops.flash_attention import xla_attention_relpos
+
+    *lead, N, _ = qkv.shape
+    def split(i):
+        t = qkv[..., i * heads * d : (i + 1) * heads * d]
+        t = t.reshape(*lead, N, heads, d)
+        return jnp.moveaxis(t, -2, -3)  # (..., heads, N, d)
+    q, k, v = split(0), split(1), split(2)
+    relh = jnp.moveaxis(rel.reshape(*lead, N, heads, -1), -2, -3)
+    out = xla_attention_relpos(q * scale, k, v, relh, sel)
+    return jnp.moveaxis(out, -3, -2).reshape(*lead, N, heads * d)
+
+
+def test_flash_qkv_windows_matches_oracle(rng, monkeypatch):
+    _interp(monkeypatch)
+    H = W = 4
+    B, nwin, heads, d = 2, 3, 2, 32
+    N = H * W
+    qkv = rng.standard_normal((B, nwin, N, 3 * heads * d)).astype(np.float32) * 0.3
+    rel = (rng.standard_normal((B, nwin, N, heads * (H + W))) * 0.1).astype(np.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    scale = d ** -0.5
+    got = fa.flash_qkv_relpos_windows(
+        jnp.asarray(qkv).reshape(B, nwin, N, 3 * heads, d),
+        jnp.asarray(rel).reshape(B, nwin, N, heads, H + W),
+        sel, scale,
+    )  # (B, heads, nwin, N, d)
+    got = jnp.moveaxis(got, 1, 3).reshape(B, nwin, N, heads * d)
+    want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_qkv_global_matches_oracle(rng, monkeypatch):
+    _interp(monkeypatch)
+    H = W = 16
+    B, heads, d = 2, 2, 32
+    N = H * W
+    qkv = rng.standard_normal((B, N, 3 * heads * d)).astype(np.float32) * 0.3
+    rel = (rng.standard_normal((B, N, heads * (H + W))) * 0.1).astype(np.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    scale = d ** -0.5
+    got = fa.flash_qkv_relpos_global(
+        jnp.asarray(qkv).reshape(B, N, 3 * heads, d),
+        jnp.asarray(rel).reshape(B, N, heads, H + W),
+        sel, scale, block_q=128,
+    )  # (B, heads, N, d)
+    got = jnp.moveaxis(got, 1, 2).reshape(B, N, heads * d)
+    want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -160,3 +160,55 @@ def test_fft_highpass_matmul_matches_fft_oracle(rng):
         got = np.asarray(fft_highpass(x, 0.25))
         want = np.asarray(fft_highpass_fft(x, 0.25))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_linear_pallas_matches_dense(rng, monkeypatch):
+    """Pallas matmul kernel (interpret mode) == x @ w + b (+ gelu)."""
+    from camouflaged_vlm_tpu.ops import linear as lin
+
+    orig = lin.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lin.pl, "pallas_call", interp)
+
+    M, K, N = 256, 64, 384
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    got = lin.linear_pallas(x, w, b, block_m=128, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ w + b), atol=2e-4)
+    got_g = lin.linear_pallas(x, w, b, block_m=128, block_n=128, activation="gelu_tanh")
+    import jax
+    np.testing.assert_allclose(
+        np.asarray(got_g),
+        np.asarray(jax.nn.gelu(x @ w + b, approximate=True)),
+        atol=2e-4,
+    )
+
+
+def test_proj_from_heads_matches_dense(rng, monkeypatch):
+    """Head-leading projection kernel == moveaxis + reshape + matmul."""
+    from camouflaged_vlm_tpu.ops import linear as lin
+
+    orig = lin.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lin.pl, "pallas_call", interp)
+
+    B, heads, T, S, d, out = 2, 4, 2, 64, 32, 96
+    x = jnp.asarray(rng.standard_normal((B, heads, T, S, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((heads * d, out)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, out)), jnp.float32)
+    got = lin.proj_from_heads(x, w.reshape(heads, d, out), b)  # (B,T,S,out)
+    got = got.reshape(B, T * S, out)
+    xf = jnp.moveaxis(x.reshape(B, heads, T * S, d), 1, 2).reshape(B, T * S, heads * d)
+    want = xf @ w + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
