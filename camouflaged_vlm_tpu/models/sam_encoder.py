@@ -39,6 +39,7 @@ from ..ops.aug_attention import augment_qk, attention_xla
 from ..ops.flash_attention import (
     flash_attention_fullk,
     flash_attention_relpos,
+    flash_qkv_packed_windows,
     flash_qkv_relpos_global,
     flash_qkv_relpos_windows,
     make_rel_scatter,
@@ -187,9 +188,14 @@ class Attention(nn.Module):
         )
         if use_fused:
             bm = N if N <= 512 else 512
-            qkv = PallasDense(
+            # keep the 2D kernel output as THE node; every consumer reshapes
+            # it independently so no intermediate gets stuck with a layout
+            # another consumer dislikes (a shared 4D view measured 54 ms of
+            # materialised reshapes per pass)
+            qkv2d = PallasDense(
                 3 * self.dim, dtype=self.dtype, block_m=bm, name="qkv"
-            )(x.reshape(B * N, self.dim)).reshape(B, H, W, 3 * self.dim)
+            )(x.reshape(B * N, self.dim))
+            qkv = None
         else:
             qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
 
@@ -216,24 +222,35 @@ class Attention(nn.Module):
             # away from the layout `proj` consumes.
             Rh = get_rel_pos_table(H, H, rel_pos_h)  # (H, H, hd)
             Rw = get_rel_pos_table(W, W, rel_pos_w)
-            qh = qkv[..., : self.dim].reshape(B, H, W, self.num_heads, head_dim)
+            qh = qkv2d[:, : self.dim].reshape(B, H, W, self.num_heads, head_dim)
             # bias uses the UNSCALED q (reference semantics)
-            rel_h = jnp.einsum("bhwnc,hkc->bhwnk", qh, Rh.astype(qkv.dtype))
-            rel_w = jnp.einsum("bhwnc,wkc->bhwnk", qh, Rw.astype(qkv.dtype))
+            rel_h = jnp.einsum("bhwnc,hkc->bhwnk", qh, Rh.astype(qkv2d.dtype))
+            rel_w = jnp.einsum("bhwnc,wkc->bhwnk", qh, Rw.astype(qkv2d.dtype))
             rel = jnp.concatenate([rel_h, rel_w], axis=-1)  # (B,H,W,heads,H+W)
-            sel = make_rel_scatter(H, W, dtype=qkv.dtype)
+            sel = make_rel_scatter(H, W, dtype=qkv2d.dtype)
             nwin = self.num_windows
-            if nwin > 1 or N <= 512:
+            if (nwin > 1 or N <= 512) and H + W <= 32:
+                # pad rel to 32 lanes/head and pack; the qkv stays the raw
+                # packed projection output (a bitcast view, NOT the 5D
+                # lane-padded layout, which costs a 68 ms reshape pair)
+                rel_p = jnp.pad(rel, ((0, 0),) * 4 + ((0, 32 - (H + W)),))
+                sel32 = jnp.pad(sel, ((0, 32 - (H + W)), (0, 0)))
+                out = flash_qkv_packed_windows(
+                    qkv2d.reshape(B // nwin, nwin, N, 3 * self.dim),
+                    rel_p.reshape(B // nwin, nwin, N, self.num_heads * 32),
+                    sel32, scale, self.num_heads, head_dim,
+                )  # (B/nwin, heads, nwin, Nw, hd) — already proj-tiled 5D
+            elif nwin > 1 or N <= 512:
                 out = flash_qkv_relpos_windows(
-                    qkv.reshape(B // nwin, nwin, N, 3 * self.num_heads, head_dim),
+                    qkv2d.reshape(B // nwin, nwin, N, 3 * self.num_heads, head_dim),
                     rel.reshape(B // nwin, nwin, N, self.num_heads, H + W),
                     sel, scale,
-                )  # (B/nwin, heads, nwin, Nw, hd) — already proj-tiled 5D
+                )  # (B/nwin, heads, nwin, Nw, hd)
             else:
                 # Global blocks (4 of 32): full-N K/V per head exceed VMEM for
                 # the packed layout, so split q/k/v here and use the q-tiled
                 # 3D kernel (one relayout; only 4 blocks pay it).
-                qkv_s = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+                qkv_s = qkv2d.reshape(B, N, 3, self.num_heads, head_dim)
                 qkv_s = qkv_s.transpose(2, 0, 3, 1, 4)
                 q, k, v = qkv_s[0], qkv_s[1], qkv_s[2]
                 qs = q * jnp.asarray(scale, q.dtype)

@@ -232,6 +232,85 @@ def flash_qkv_relpos_windows(
     )(qkv, qkv, qkv, rel, sel)
 
 
+def _qkv_packed_windows_kernel(scale, head_group, d, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+    # Packed-lane variant: q/k/v arrive as (Nw, head_group*d) straight off the
+    # qkv projection (no 5D lane-padded view -> no 60%-inflated HBM reshape);
+    # heads are peeled with static lane slices in VMEM. rel arrives padded to
+    # 32 lanes/head so its slices stay tile-aligned; sel has 32 rows (4 zero).
+    sel = sel_ref[:]  # (32, Nw)
+    for h in range(head_group):
+        q = q_ref[0, 0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, 0][:, h * d : (h + 1) * d]   # (Nw, d)
+        v = v_ref[0, 0][:, h * d : (h + 1) * d]
+        rel = rel_ref[0, 0][:, h * 32 : (h + 1) * 32]  # (Nw, 32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Nw, Nw)
+        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, h, 0] = o.astype(o_ref.dtype)
+
+
+def flash_qkv_packed_windows(
+    qkv: jnp.ndarray,  # (B, nwin, Nw, 3*heads*d) — bitcast view of the Dense out
+    rel: jnp.ndarray,  # (B, nwin, Nw, heads*32) — [rel_h | rel_w | 0-pad] per head
+    sel32: jnp.ndarray,  # (32, Nw): make_rel_scatter padded with zero rows
+    scale: float,
+    heads: int,
+    d: int,
+    head_group: int = 8,
+) -> jnp.ndarray:
+    """Windowed rel-pos attention on the UNPADDED packed qkv layout.
+
+    The (…, 3*heads, d) 5D view used by `flash_qkv_relpos_windows` lane-pads
+    d=80 -> 128 in HBM, which XLA materialises as a 40+28 ms reshape pair per
+    batch-8 encoder pass. Here blocks slice 640-lane (= head_group*d) chunks
+    of the raw 3840-lane tensor (640 % 128 == 0, so Mosaic-tileable with no
+    physical padding) and heads are peeled with static lane slices in VMEM.
+    Output stays head-leading (B, heads, nwin, Nw, d) for `proj_from_heads`.
+    """
+    B, nwin, Nw, _ = qkv.shape
+    n_hg = heads // head_group
+    gd = head_group * d
+    kernel = functools.partial(_qkv_packed_windows_kernel, scale, head_group, d)
+    blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, nwin, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, 1, Nw, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Nw, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Nw, gd), blk(2), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Nw, head_group * 32),
+                             lambda b, w, g: (b, w, 0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, Nw), lambda b, w, g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, 1, Nw, d),
+                lambda b, w, g: (b, g, w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nwin * Nw * Nw * (2 * d + 32),
+            bytes_accessed=qkv.size * 2 + rel.size * 2,
+            transcendentals=B * heads * nwin * Nw * Nw,
+        ),
+    )(qkv, qkv, qkv, rel, sel32)
+
+
 def _qkv_relpos_global_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
     sel = sel_ref[:]  # (hw, N)
     for h in range(head_group):

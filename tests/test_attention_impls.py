@@ -234,3 +234,29 @@ def test_flash_qkv_global_matches_oracle(rng, monkeypatch):
     got = jnp.moveaxis(got, 1, 2).reshape(B, N, heads * d)
     want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch):
+    """Packed-lane windows kernel (raw 3*heads*d layout, rel padded to 32
+    lanes/head) == the unpacked oracle."""
+    _interp(monkeypatch)
+    H = W = 4
+    B, nwin, heads, d = 2, 3, 2, 32
+    N = H * W
+    hw = H + W
+    qkv = rng.standard_normal((B, nwin, N, 3 * heads * d)).astype(np.float32) * 0.3
+    rel = (rng.standard_normal((B, nwin, N, heads, hw)) * 0.1).astype(np.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    scale = d ** -0.5
+    rel_p = jnp.pad(jnp.asarray(rel), ((0, 0),) * 4 + ((0, 32 - hw),))
+    sel32 = jnp.pad(sel, ((0, 32 - hw), (0, 0)))
+    got = fa.flash_qkv_packed_windows(
+        jnp.asarray(qkv), rel_p.reshape(B, nwin, N, heads * 32), sel32,
+        scale, heads, d, head_group=heads,
+    )  # (B, heads, nwin, N, d)
+    got = jnp.moveaxis(got, 1, 3).reshape(B, nwin, N, heads * d)
+    want = _qkv_oracle(
+        jnp.asarray(qkv), jnp.asarray(rel).reshape(B, nwin, N, heads * hw),
+        sel, heads, d, scale,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
