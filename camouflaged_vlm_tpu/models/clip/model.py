@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.norms import LayerNormFP32
+from ...ops.flash_attention import flash_qkv_packed_plain
+from ...ops.linear import linear_pallas_bt, proj_from_heads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +80,47 @@ def build_causal_mask(length: int) -> jnp.ndarray:
     return jnp.triu(mask, k=1)
 
 
+class PallasClipDense(nn.Module):
+    """Dense via the Pallas batched-rows matmul kernel (param tree identical
+    to nn.Dense) — default-layout producer for the attention kernels."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x3d: jnp.ndarray) -> jnp.ndarray:  # (B, S, K)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x3d.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return linear_pallas_bt(
+            x3d, kernel.astype(self.dtype), bias.astype(self.dtype)[None]
+        )
+
+
+class PallasClipProj(nn.Module):
+    """Output projection consuming head-leading (B, heads, 1, S, d) directly
+    (param tree identical to nn.Dense)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x5d: jnp.ndarray) -> jnp.ndarray:
+        B, heads, T, S, d = x5d.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (heads * d, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return proj_from_heads(
+            x5d,
+            kernel.astype(self.dtype).reshape(heads, d, self.features),
+            bias.astype(self.dtype)[None],
+        )  # (B, T, S, features)
+
+
 class ClipAttention(nn.Module):
     """Fused-qkv multi-head attention (reference `Attention`, model.py:176-256)."""
 
@@ -89,11 +132,31 @@ class ClipAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None):
         B, L, _ = x.shape
         head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        # Fused TPU path (vision tower: no mask): Pallas qkv matmul -> packed
+        # plain-softmax attention -> head-consuming projection; zero XLA
+        # transposes/copies (same design as the SAM encoder, sam_encoder.py).
+        if (
+            attn_mask is None
+            and jax.default_backend() != "cpu"
+            and self.num_heads % 8 == 0
+            and (8 * head_dim) % 128 == 0
+        ):
+            qkv3d = PallasClipDense(
+                3 * self.dim, dtype=self.dtype, name="in_proj"
+            )(x)
+            out = flash_qkv_packed_plain(
+                qkv3d, scale, self.num_heads, head_dim
+            )  # (B, heads, L, hd)
+            y = PallasClipProj(self.dim, dtype=self.dtype, name="out_proj")(
+                out.reshape(B, self.num_heads, 1, L, head_dim)
+            )
+            return y.reshape(B, L, self.dim)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="in_proj")(x)
         qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         logits = jnp.einsum(
-            "bhqc,bhkc->bhqk", q * (head_dim ** -0.5), k,
+            "bhqc,bhkc->bhqk", q * scale, k,
             preferred_element_type=jnp.float32,
         )
         if attn_mask is not None:

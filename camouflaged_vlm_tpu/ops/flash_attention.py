@@ -311,6 +311,70 @@ def flash_qkv_packed_windows(
     )(qkv, qkv, qkv, rel, sel32)
 
 
+def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
+    # Plain softmax attention (no bias) on the packed qkv layout — heads
+    # peeled with static lane slices; whole sequence per block (odd lengths
+    # like CLIP's 581 tokens are fine since S == the full array dim).
+    for h in range(head_group):
+        q = q_ref[0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0][:, h * d : (h + 1) * d]   # (S, d)
+        v = v_ref[0][:, h * d : (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (S, S)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def flash_qkv_packed_plain(
+    qkv: jnp.ndarray,  # (B, S, 3*heads*d) — bitcast view of the qkv projection
+    scale: float,
+    heads: int,
+    d: int,
+    head_group: int = 8,
+) -> jnp.ndarray:
+    """No-bias sibling of `flash_qkv_packed_windows` for the CLIP towers.
+
+    Requires (head_group * d) % 128 == 0 (CLIP ViT-L: 8 heads x 64 = 512).
+    Output is head-leading (B, heads, S, d) for `proj_from_heads`.
+    """
+    B, S, _ = qkv.shape
+    n_hg = heads // head_group
+    gd = head_group * d
+    kernel = functools.partial(_qkv_packed_plain_kernel, scale, head_group, d)
+    blk = lambda role: (lambda b, g: (b, 0, role * n_hg + g))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, S, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, S, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, gd), blk(2), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, S, d), lambda b, g: (b, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * S * S * 2 * d,
+            bytes_accessed=qkv.size * 2,
+            transcendentals=B * heads * S * S,
+        ),
+    )(qkv, qkv, qkv)
+
+
 def _qkv_relpos_global_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
     sel = sel_ref[:]  # (hw, N)
     for h in range(head_group):

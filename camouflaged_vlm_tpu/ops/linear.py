@@ -93,6 +93,61 @@ def linear_pallas(
     )(x, w, b)
 
 
+def _linear_bt_kernel(activation, x_ref, w_ref, b_ref, o_ref):
+    acc = jax.lax.dot(
+        x_ref[0], w_ref[:], preferred_element_type=jnp.float32
+    )  # (S, bn)
+    acc += b_ref[:].astype(jnp.float32)
+    if activation == "gelu_tanh":
+        acc = jax.nn.gelu(acc, approximate=True)
+    elif activation == "quick_gelu":
+        acc = acc * jax.nn.sigmoid(1.702 * acc)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def linear_pallas_bt(
+    x: jnp.ndarray,   # (B, S, K) — S may be any length (== full block dim)
+    w: jnp.ndarray,   # (K, N)
+    b: jnp.ndarray,   # (1, N)
+    block_n: int = 1536,
+    activation: str | None = None,
+) -> jnp.ndarray:
+    """Batched-rows variant of linear_pallas for odd sequence lengths (e.g.
+    CLIP's 581 tokens): the S axis is covered whole per block, so it needs no
+    divisibility; the grid tiles (N, B)."""
+    B, S, K = x.shape
+    N = w.shape[1]
+    if N % block_n != 0:
+        block_n = N
+    kernel = functools.partial(_linear_bt_kernel, activation)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(N // block_n, B),
+            in_specs=[
+                pl.BlockSpec((1, S, K), lambda n, b_: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_n), lambda n, b_: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda n, b_: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, S, block_n), lambda n, b_: (b_, 0, n), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * K * N,
+            bytes_accessed=(x.size + B * S * N) * x.dtype.itemsize,
+            transcendentals=B * S * N if activation else 0,
+        ),
+    )(x, w, b)
+
+
 def _proj_kernel(heads, x_ref, w_ref, b_ref, o_ref):
     # x: (1, heads, 1, S, d); w: (heads, d, out) — reads index LEADING axes
     acc = b_ref[:].astype(jnp.float32)  # (1, out) broadcasts over S

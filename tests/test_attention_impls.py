@@ -260,3 +260,23 @@ def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch):
         sel, heads, d, scale,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch):
+    """Plain packed-qkv attention kernel (CLIP path) == standard attention."""
+    _interp(monkeypatch)
+    B, L, heads, d = 2, 37, 2, 32  # odd L like CLIP's 581
+    qkv = rng.standard_normal((B, L, 3 * heads * d)).astype(np.float32) * 0.3
+    scale = d ** -0.5
+    got = fa.flash_qkv_packed_plain(
+        jnp.asarray(qkv), scale, heads, d, head_group=heads
+    )  # (B, heads, L, d)
+
+    def split(i):
+        t = qkv[..., i * heads * d : (i + 1) * heads * d].reshape(B, L, heads, d)
+        return jnp.moveaxis(jnp.asarray(t), 1, 2)
+    q, k, v = split(0), split(1), split(2)
+    s = jnp.einsum("bhqc,bhkc->bhqk", q * scale, k)
+    p = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bhqk,bhkc->bhqc", p, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
