@@ -65,7 +65,7 @@ def main():
         )
         return jnp.sum(probs.astype(jnp.float32)) + jnp.sum(pred) + jnp.sum(score)
 
-    batches = [args.batch] if args.batch else [1, 2, 4, 8]
+    batches = [args.batch] if args.batch else [1, 4, 8, 16]
     best_ips, best_b, per_batch = 0.0, 0, {}
     for B in batches:
         try:
@@ -73,19 +73,19 @@ def main():
             call = lambda: forward(params, inp, cimg, cmask, text_features)
             for _ in range(args.warmup):
                 float(call())  # host fetch == completion barrier
-            times = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                float(call())
-                times.append(time.perf_counter() - t0)
-            times.sort()
-            sec = times[len(times) // 2]
+            # Steady-state throughput: enqueue all iterations (async
+            # dispatch pipelines them on-device), fetch ONE scalar at the
+            # end — the ~36 ms tunnel round-trip is paid once, not per iter.
+            t0 = time.perf_counter()
+            outs = [call() for _ in range(args.iters)]
+            float(outs[-1])
+            sec = (time.perf_counter() - t0) / args.iters
             ips = B / sec
             per_batch[B] = round(ips, 3)
             if ips > best_ips:
                 best_ips, best_b = ips, B
         except Exception as e:  # e.g. OOM at large batch
-            per_batch[B] = f"failed: {type(e).__name__}"
+            per_batch[B] = f"failed: {type(e).__name__}: {str(e)[:160]}"
             break
 
     print(

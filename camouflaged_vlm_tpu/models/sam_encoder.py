@@ -46,7 +46,12 @@ from ..ops.flash_attention import (
     xla_attention_relpos,
 )
 from ..ops.fft_prompt import fft_highpass
-from ..ops.linear import linear_pallas, proj_from_heads
+from ..ops.linear import (
+    linear_pallas,
+    linear_residual_pallas,
+    ln_linear_gelu_pallas,
+    proj_from_heads,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,13 +192,12 @@ class Attention(nn.Module):
             and jax.default_backend() != "cpu"
         )
         if use_fused:
-            bm = N if N <= 512 else 512
             # keep the 2D kernel output as THE node; every consumer reshapes
             # it independently so no intermediate gets stuck with a layout
             # another consumer dislikes (a shared 4D view measured 54 ms of
             # materialised reshapes per pass)
             qkv2d = PallasDense(
-                3 * self.dim, dtype=self.dtype, block_m=bm, name="qkv"
+                3 * self.dim, dtype=self.dtype, name="qkv"
             )(x.reshape(B * N, self.dim))
             qkv = None
         else:
@@ -347,6 +351,50 @@ class MLPBlock(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="lin2")(x)
 
 
+class _ParamsLN(nn.Module):
+    """Declares LayerNormFP32-compatible params without applying the norm
+    (the fused MLP kernel consumes them directly)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+class _ParamsDense(nn.Module):
+    """Declares nn.Dense-compatible params without applying the layer."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_dim, self.out_dim), jnp.float32,
+            ),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32),
+        )
+
+
+class _ParamsMLP(nn.Module):
+    """MLPBlock-compatible param tree for the fused kernels."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _ParamsDense(self.dim, self.hidden, name="lin1")()
+        w2, b2 = _ParamsDense(self.hidden, self.dim, name="lin2")()
+        return w1, b1, w2, b2
+
+
 class Block(nn.Module):
     """ViT block: windowed (window_size > 0) or global attention."""
 
@@ -381,10 +429,30 @@ class Block(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
+        hidden = int(cfg.embed_dim * cfg.mlp_ratio)
+        if cfg.attn_impl == "flash" and jax.default_backend() != "cpu":
+            # Fused LN2 + MLP via Pallas: LN folds into the first matmul's
+            # prologue and the residual into the second's epilogue — no
+            # standalone LN fusion, no separate residual pass. (LN1 cannot
+            # fold the same way: the reference zero-pads windows AFTER LN1,
+            # so LN must see the unpadded tensor.)
+            g2, be2 = _ParamsLN(cfg.embed_dim, name="norm2")()
+            w1, b1, w2, b2 = _ParamsMLP(cfg.embed_dim, hidden, name="mlp")()
+            Bb = x.shape[0]
+            x2 = x.reshape(Bb * H * W, cfg.embed_dim)
+            h = ln_linear_gelu_pallas(
+                x2, g2[None], be2[None],
+                w1.astype(cfg.dtype), b1.astype(cfg.dtype)[None],
+                eps=1e-6, approximate=cfg.gelu_approximate,
+            )
+            x = linear_residual_pallas(
+                h, w2.astype(cfg.dtype), b2.astype(cfg.dtype)[None], x2
+            ).reshape(Bb, H, W, cfg.embed_dim)
+            return x
         y = LayerNormFP32(eps=1e-6, name="norm2")(x)
         x = x + MLPBlock(
             dim=cfg.embed_dim,
-            hidden=int(cfg.embed_dim * cfg.mlp_ratio),
+            hidden=hidden,
             dtype=cfg.dtype,
             gelu_approximate=cfg.gelu_approximate,
             name="mlp",

@@ -60,11 +60,20 @@ def linear_pallas(
     """
     M, K = x.shape
     N = w.shape[1]
-    block_m = _pick_block(M, block_m)
+    orig_m = M
+    block_m = max(8, (block_m // 8) * 8)
+    bm = _pick_block(M, block_m) if M % 8 == 0 else M
+    if bm % 8 != 0 or bm > 2 * block_m:
+        # no multiple-of-8 tile divides M (e.g. M=4900 at batch 1) —
+        # zero-pad rows to the next block boundary and slice after
+        pad_to = -(-M // block_m) * block_m
+        x = jnp.pad(x, ((0, pad_to - M), (0, 0)))
+        M, bm = pad_to, block_m
+    block_m = bm
     if N % block_n != 0:
         block_n = N
     kernel = functools.partial(_linear_kernel, activation)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid_spec=pl.GridSpec(
@@ -91,6 +100,130 @@ def linear_pallas(
             transcendentals=M * N if activation else 0,
         ),
     )(x, w, b)
+    return out[:orig_m] if orig_m != M else out
+
+
+def _ln_linear_gelu_kernel(eps, approximate, x_ref, g_ref, be_ref, w_ref, b_ref, o_ref):
+    # LN(x) row-wise in fp32, then matmul + bias + GELU — one VMEM pass.
+    x = x_ref[:].astype(jnp.float32)  # (bm, K)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+    acc = jax.lax.dot(
+        xn.astype(o_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+    )
+    acc += b_ref[:].astype(jnp.float32)
+    acc = jax.nn.gelu(acc, approximate=approximate)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def ln_linear_gelu_pallas(
+    x: jnp.ndarray,       # (M, K)
+    gamma: jnp.ndarray,   # (1, K) LN scale
+    beta: jnp.ndarray,    # (1, K) LN bias
+    w: jnp.ndarray,       # (K, N)
+    b: jnp.ndarray,       # (1, N)
+    eps: float = 1e-6,
+    approximate: bool = True,
+    block_m: int = 512,
+    block_n: int = 2560,
+) -> jnp.ndarray:
+    """gelu(LN(x) @ w + b) — the ViT MLP's first half with the layer norm
+    folded in (the standalone LN fusion costs an extra HBM round trip and the
+    erf/tanh GELU stalls XLA's matmul fusion epilogue)."""
+    M, K = x.shape
+    N = w.shape[1]
+    block_m = _pick_block(M, block_m)
+    if N % block_n != 0:
+        block_n = N
+    kernel = functools.partial(_ln_linear_gelu_kernel, eps, approximate)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(N // block_n, M // block_m),
+            in_specs=[
+                pl.BlockSpec((block_m, K), lambda n, m: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda n, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda n, m: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_n), lambda n, m: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda n, m: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, block_n), lambda n, m: (m, n), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=(x.size * max(1, N // block_n) + M * N) * x.dtype.itemsize,
+            transcendentals=M * N,
+        ),
+    )(x, gamma, beta, w, b)
+
+
+def _linear_residual_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
+    acc = jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    )
+    acc += b_ref[:].astype(jnp.float32) + r_ref[:].astype(jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def linear_residual_pallas(
+    x: jnp.ndarray,    # (M, K)
+    w: jnp.ndarray,    # (K, N)
+    b: jnp.ndarray,    # (1, N)
+    res: jnp.ndarray,  # (M, N) — residual added to the output
+    block_m: int = 256,
+    block_n: int = 1280,
+) -> jnp.ndarray:
+    """x @ w + b + res — the ViT MLP's second half with the residual folded
+    into the matmul epilogue (keeps K=4*dim rows VMEM-resident)."""
+    M, K = x.shape
+    N = w.shape[1]
+    block_m = _pick_block(M, block_m)
+    if N % block_n != 0:
+        block_n = N
+    return pl.pallas_call(
+        _linear_residual_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(N // block_n, M // block_m),
+            in_specs=[
+                pl.BlockSpec((block_m, K), lambda n, m: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_n), lambda n, m: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda n, m: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, block_n), lambda n, m: (m, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, block_n), lambda n, m: (m, n), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=(x.size + M * N * 2) * x.dtype.itemsize
+            + w.size * w.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, w, b, res)
 
 
 def _linear_bt_kernel(activation, x_ref, w_ref, b_ref, o_ref):
