@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vjp import pallas_with_xla_vjp
+
 
 def _relpos_kernel(q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
     q = q_ref[0]      # (block_q, d) — pre-scaled
@@ -95,7 +97,7 @@ def flash_attention_relpos(
     v: jnp.ndarray,    # (B, N, d_v)
     rel: jnp.ndarray,  # (B, N, H+W) — [rel_h | rel_w] per query
     sel: jnp.ndarray,  # (H+W, N) from make_rel_scatter
-    block_q: int = 128,
+    block_q: int = 512,
 ) -> jnp.ndarray:
     B, N, d = q.shape
     d_v = v.shape[-1]
@@ -103,7 +105,7 @@ def flash_attention_relpos(
     if N % block_q != 0:
         block_q = N  # small (windowed) sequences: one q tile
     grid = (B, N // block_q)
-    return pl.pallas_call(
+    run = lambda q, k, v, rel, sel: pl.pallas_call(
         _relpos_kernel,
         out_shape=jax.ShapeDtypeStruct((B, N, d_v), v.dtype),
         grid_spec=pl.GridSpec(
@@ -126,6 +128,7 @@ def flash_attention_relpos(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * N * (d + d_v + hw),
@@ -133,6 +136,7 @@ def flash_attention_relpos(
             transcendentals=B * N * N,
         ),
     )(q, k, v, rel, sel)
+    return pallas_with_xla_vjp(run, xla_attention_relpos)(q, k, v, rel, sel)
 
 
 def _qkv_relpos_windows_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
@@ -196,7 +200,16 @@ def flash_qkv_relpos_windows(
     blk = lambda role: (
         lambda b, w, g: (b, w, 0, role * n_hg + g, 0)
     )
-    return pl.pallas_call(
+
+    def ref(qkv, rel, sel):
+        # (B, nwin, Nw, 3*heads, d) -> head-leading attention via XLA
+        q = jnp.moveaxis(qkv[:, :, :, :heads], 3, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(qkv[:, :, :, heads : 2 * heads], 3, 1)
+        v = jnp.moveaxis(qkv[:, :, :, 2 * heads :], 3, 1)
+        relh = jnp.moveaxis(rel, 3, 1)  # (B, heads, nwin, Nw, hw)
+        return xla_attention_relpos(q, k, v, relh, sel)
+
+    run = lambda qkv, rel, sel: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
         grid_spec=pl.GridSpec(
@@ -230,6 +243,7 @@ def flash_qkv_relpos_windows(
             transcendentals=B * heads * nwin * Nw * Nw,
         ),
     )(qkv, qkv, qkv, rel, sel)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel)
 
 
 def _qkv_packed_windows_kernel(scale, head_group, d, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
@@ -278,7 +292,16 @@ def flash_qkv_packed_windows(
     gd = head_group * d
     kernel = functools.partial(_qkv_packed_windows_kernel, scale, head_group, d)
     blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
-    return pl.pallas_call(
+
+    def ref(qkv, rel, sel32):
+        r = qkv.reshape(B, nwin, Nw, 3, heads, d)
+        q = jnp.moveaxis(r[:, :, :, 0], 3, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(r[:, :, :, 1], 3, 1)
+        v = jnp.moveaxis(r[:, :, :, 2], 3, 1)
+        relh = jnp.moveaxis(rel.reshape(B, nwin, Nw, heads, 32), 3, 1)
+        return xla_attention_relpos(q, k, v, relh, sel32)
+
+    run = lambda qkv, rel, sel32: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
         grid_spec=pl.GridSpec(
@@ -309,6 +332,7 @@ def flash_qkv_packed_windows(
             transcendentals=B * heads * nwin * Nw * Nw,
         ),
     )(qkv, qkv, qkv, rel, sel32)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel32)
 
 
 def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
@@ -348,7 +372,19 @@ def flash_qkv_packed_plain(
     gd = head_group * d
     kernel = functools.partial(_qkv_packed_plain_kernel, scale, head_group, d)
     blk = lambda role: (lambda b, g: (b, 0, role * n_hg + g))
-    return pl.pallas_call(
+
+    def ref(qkv):
+        r = qkv.reshape(B, S, 3, heads, d)
+        q = jnp.moveaxis(r[:, :, 0], 2, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(r[:, :, 1], 2, 1)
+        v = jnp.moveaxis(r[:, :, 2], 2, 1)
+        s = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum(
+            "bhqk,bhkc->bhqc", p, v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)
+
+    run = lambda qkv: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, heads, S, d), qkv.dtype),
         grid_spec=pl.GridSpec(
@@ -373,6 +409,7 @@ def flash_qkv_packed_plain(
             transcendentals=B * heads * S * S,
         ),
     )(qkv, qkv, qkv)
+    return pallas_with_xla_vjp(run, ref)(qkv)
 
 
 def _qkv_relpos_global_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
@@ -417,7 +454,15 @@ def flash_qkv_relpos_global(
         head_group = heads  # tests/tiny shapes (TPU callers gate on 8 | heads)
     n_hg = heads // head_group
     kernel = functools.partial(_qkv_relpos_global_kernel, scale, head_group)
-    return pl.pallas_call(
+
+    def ref(qkv, rel, sel):
+        q = jnp.moveaxis(qkv[:, :, :heads], 2, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(qkv[:, :, heads : 2 * heads], 2, 1)
+        v = jnp.moveaxis(qkv[:, :, 2 * heads :], 2, 1)
+        relh = jnp.moveaxis(rel, 2, 1)  # (B, heads, N, hw)
+        return xla_attention_relpos(q, k, v, relh, sel)
+
+    run = lambda qkv, rel, sel: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, heads, N, d), qkv.dtype),
         grid_spec=pl.GridSpec(
@@ -452,6 +497,7 @@ def flash_qkv_relpos_global(
             transcendentals=B * heads * N * N,
         ),
     )(qkv, qkv, qkv, rel, sel)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref):
@@ -481,7 +527,17 @@ def flash_attention_fullk(
     d_v = v.shape[-1]
     assert N % block_q == 0, (N, block_q)
     grid = (B, N // block_q)
-    return pl.pallas_call(
+
+    def ref(q_aug, k_aug, v):
+        s = jnp.einsum(
+            "bqc,bkc->bqk", q_aug, k_aug, preferred_element_type=jnp.float32
+        )
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum(
+            "bqk,bkc->bqc", p, v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)
+
+    run = lambda q_aug, k_aug, v: pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((B, N, d_v), v.dtype),
         grid_spec=pl.GridSpec(
@@ -507,3 +563,4 @@ def flash_attention_fullk(
             transcendentals=B * N * N,
         ),
     )(q_aug, k_aug, v)
+    return pallas_with_xla_vjp(run, ref)(q_aug, k_aug, v)

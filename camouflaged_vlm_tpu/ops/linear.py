@@ -20,6 +20,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vjp import pallas_with_xla_vjp
+
+
+def _apply_act(acc, activation):
+    if activation == "gelu_tanh":
+        return jax.nn.gelu(acc, approximate=True)
+    if activation == "gelu":
+        return jax.nn.gelu(acc, approximate=False)
+    if activation == "quick_gelu":
+        return acc * jax.nn.sigmoid(1.702 * acc)
+    return acc
+
 
 def _linear_kernel(activation, x_ref, w_ref, b_ref, o_ref):
     acc = jax.lax.dot(
@@ -73,7 +85,13 @@ def linear_pallas(
     if N % block_n != 0:
         block_n = N
     kernel = functools.partial(_linear_kernel, activation)
-    out = pl.pallas_call(
+
+    def ref(x, w, b):
+        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        acc = _apply_act(acc + b.astype(jnp.float32), activation)
+        return acc.astype(x.dtype)
+
+    run = lambda x, w, b: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid_spec=pl.GridSpec(
@@ -100,6 +118,7 @@ def linear_pallas(
             transcendentals=M * N if activation else 0,
         ),
     )(x, w, b)
+    out = pallas_with_xla_vjp(run, ref)(x, w, b)
     return out[:orig_m] if orig_m != M else out
 
 
@@ -138,7 +157,18 @@ def ln_linear_gelu_pallas(
     if N % block_n != 0:
         block_n = N
     kernel = functools.partial(_ln_linear_gelu_kernel, eps, approximate)
-    return pl.pallas_call(
+
+    def ref(x, gamma, beta, w, b):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        acc = jnp.dot(xn.astype(x.dtype), w, preferred_element_type=jnp.float32)
+        acc = jax.nn.gelu(acc + b.astype(jnp.float32), approximate=approximate)
+        return acc.astype(x.dtype)
+
+    run = lambda x, gamma, beta, w, b: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid_spec=pl.GridSpec(
@@ -169,6 +199,7 @@ def ln_linear_gelu_pallas(
             transcendentals=M * N,
         ),
     )(x, gamma, beta, w, b)
+    return pallas_with_xla_vjp(run, ref)(x, gamma, beta, w, b)
 
 
 def _linear_residual_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
@@ -194,7 +225,13 @@ def linear_residual_pallas(
     block_m = _pick_block(M, block_m)
     if N % block_n != 0:
         block_n = N
-    return pl.pallas_call(
+
+    def ref(x, w, b, res):
+        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        acc = acc + b.astype(jnp.float32) + res.astype(jnp.float32)
+        return acc.astype(x.dtype)
+
+    run = lambda x, w, b, res: pl.pallas_call(
         _linear_residual_kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid_spec=pl.GridSpec(
@@ -224,6 +261,7 @@ def linear_residual_pallas(
             transcendentals=0,
         ),
     )(x, w, b, res)
+    return pallas_with_xla_vjp(run, ref)(x, w, b, res)
 
 
 def _linear_bt_kernel(activation, x_ref, w_ref, b_ref, o_ref):
@@ -253,7 +291,13 @@ def linear_pallas_bt(
     if N % block_n != 0:
         block_n = N
     kernel = functools.partial(_linear_bt_kernel, activation)
-    return pl.pallas_call(
+
+    def ref(x, w, b):
+        acc = jnp.einsum("bsk,kn->bsn", x, w, preferred_element_type=jnp.float32)
+        acc = _apply_act(acc + b.astype(jnp.float32), activation)
+        return acc.astype(x.dtype)
+
+    run = lambda x, w, b: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, S, N), x.dtype),
         grid_spec=pl.GridSpec(
@@ -279,6 +323,7 @@ def linear_pallas_bt(
             transcendentals=B * S * N if activation else 0,
         ),
     )(x, w, b)
+    return pallas_with_xla_vjp(run, ref)(x, w, b)
 
 
 def _proj_kernel(heads, x_ref, w_ref, b_ref, o_ref):
@@ -306,7 +351,14 @@ def proj_from_heads(
     B, heads, T, S, d = x.shape
     out = w.shape[-1]
     kernel = functools.partial(_proj_kernel, heads)
-    return pl.pallas_call(
+
+    def ref(x, w, b):
+        acc = jnp.einsum(
+            "bhtsd,hdo->btso", x, w, preferred_element_type=jnp.float32
+        )
+        return (acc + b.astype(jnp.float32)).astype(x.dtype)
+
+    run = lambda x, w, b: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, T, S, out), x.dtype),
         grid_spec=pl.GridSpec(
@@ -333,3 +385,4 @@ def proj_from_heads(
             transcendentals=0,
         ),
     )(x, w, b)
+    return pallas_with_xla_vjp(run, ref)(x, w, b)

@@ -280,3 +280,55 @@ def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch):
     p = jax.nn.softmax(s, axis=-1)
     want = jnp.einsum("bhqk,bhkc->bhqc", p, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_kernels_differentiable_match_xla_grad(rng, monkeypatch):
+    """Pallas kernels carry custom_vjp (backward = XLA formulation): training
+    differentiates through every encoder block, so jax.grad must work and
+    match the pure-XLA gradient."""
+    _interp(monkeypatch)
+    from camouflaged_vlm_tpu.ops import linear as lin
+
+    orig = lin.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lin.pl, "pallas_call", interp)
+
+    # linear_pallas grad
+    M, K, N = 128, 64, 128
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    f = lambda x, w, b: jnp.sum(lin.linear_pallas(x, w, b, block_m=64, block_n=128) ** 2)
+    g = lambda x, w, b: jnp.sum((x @ w + b) ** 2)
+    for got, want in zip(jax.grad(f, (0, 1, 2))(x, w, b), jax.grad(g, (0, 1, 2))(x, w, b)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    # packed windows attention grad
+    H = W = 4
+    B, nwin, heads, d = 1, 2, 2, 32
+    Nn = H * W
+    hw = H + W
+    qkv = jnp.asarray(rng.standard_normal((B, nwin, Nn, 3 * heads * d)) * 0.3, jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((B, nwin, Nn, heads, hw)) * 0.1, jnp.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    rel_p = jnp.pad(rel, ((0, 0),) * 4 + ((0, 32 - hw),)).reshape(B, nwin, Nn, heads * 32)
+    sel32 = jnp.pad(sel, ((0, 32 - hw), (0, 0)))
+    scale = d ** -0.5
+
+    def f2(qkv, rel_p):
+        return jnp.sum(
+            fa.flash_qkv_packed_windows(qkv, rel_p, sel32, scale, heads, d, head_group=heads) ** 2
+        )
+
+    def g2(qkv, rel_p):
+        out = _qkv_oracle(qkv, rel.reshape(B, nwin, Nn, heads * hw), sel, heads, d, scale)
+        return jnp.sum(out ** 2)
+
+    got = jax.grad(f2, (0, 1))(qkv, rel_p)
+    want_qkv = jax.grad(g2, (0, 1))(qkv, rel_p)[0]
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_qkv), rtol=3e-4, atol=3e-4)
