@@ -134,6 +134,7 @@ def main():
     p.add_argument("--maple-ckpt", default=None)
     p.add_argument("--text-bank", default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--tiny", action="store_true", help="tiny config (smoke runs)")
     args = p.parse_args()
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -159,6 +160,7 @@ def main():
         maple_ckpt=args.maple_ckpt,
         text_bank_path=args.text_bank,
         dtype=dtype,
+        tiny=args.tiny,
     )
     save_path = os.path.join(args.output_dir, "result_image") if args.save_images else None
     results = evaluate(
