@@ -40,7 +40,6 @@ from ..ops.flash_attention import (
     flash_attention_fullk,
     flash_attention_relpos,
     flash_qkv_packed_windows,
-    flash_qkv_relpos_global,
     flash_qkv_relpos_windows,
     make_rel_scatter,
     xla_attention_relpos,
@@ -163,6 +162,21 @@ class PallasHeadProj(nn.Module):
         return y  # (B, T, S, features)
 
 
+def rel_and_scatter(q_heads, rel_pos_h, rel_pos_w, H, W):
+    """Rank-structured rel-pos bias factors for the flash kernels.
+
+    q_heads: (..., H, W, heads, hd) UNSCALED queries (reference semantics,
+    `image_encoder.py:589-625`). Returns (rel (..., H, W, heads, H+W) =
+    [rel_h | rel_w] per query, sel (H+W, H*W) scatter constant) such that
+    bias[q, k] = (rel @ sel)[q, k]."""
+    Rh = get_rel_pos_table(H, H, rel_pos_h)  # (H, H, hd)
+    Rw = get_rel_pos_table(W, W, rel_pos_w)  # (W, W, hd)
+    rel_h = jnp.einsum("...hwnc,hkc->...hwnk", q_heads, Rh.astype(q_heads.dtype))
+    rel_w = jnp.einsum("...hwnc,wkc->...hwnk", q_heads, Rw.astype(q_heads.dtype))
+    rel = jnp.concatenate([rel_h, rel_w], axis=-1)
+    return rel, make_rel_scatter(H, W, dtype=q_heads.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed rel-pos bias.
 
@@ -224,14 +238,8 @@ class Attention(nn.Module):
             # via BlockSpec index maps, so no transpose/pad/copy of the qkv
             # tensor ever materialises, and the output lands a free reshape
             # away from the layout `proj` consumes.
-            Rh = get_rel_pos_table(H, H, rel_pos_h)  # (H, H, hd)
-            Rw = get_rel_pos_table(W, W, rel_pos_w)
             qh = qkv2d[:, : self.dim].reshape(B, H, W, self.num_heads, head_dim)
-            # bias uses the UNSCALED q (reference semantics)
-            rel_h = jnp.einsum("bhwnc,hkc->bhwnk", qh, Rh.astype(qkv2d.dtype))
-            rel_w = jnp.einsum("bhwnc,wkc->bhwnk", qh, Rw.astype(qkv2d.dtype))
-            rel = jnp.concatenate([rel_h, rel_w], axis=-1)  # (B,H,W,heads,H+W)
-            sel = make_rel_scatter(H, W, dtype=qkv2d.dtype)
+            rel, sel = rel_and_scatter(qh, rel_pos_h, rel_pos_w, H, W)
             nwin = self.num_windows
             if (nwin > 1 or N <= 512) and H + W <= 32:
                 # pad rel to 32 lanes/head and pack; the qkv stays the raw
@@ -285,23 +293,13 @@ class Attention(nn.Module):
                 q, k, v, rel_pos_h, rel_pos_w, (H, W), scale
             )
         elif self.attn_impl == "flash" and self.use_rel_pos:
-            # Production path: the bias never exists outside the kernel —
-            # per-query [rel_h | rel_w] rides in as a (N, H+W) side input and
-            # the kernel scatters it onto keys with one constant matmul.
-            Rh = get_rel_pos_table(H, H, rel_pos_h)  # (H, H, hd)
-            Rw = get_rel_pos_table(W, W, rel_pos_w)  # (W, W, hd)
-            rq = q.reshape(B, self.num_heads, H, W, head_dim)
-            # bias uses the UNSCALED q (reference semantics)
-            rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, Rh.astype(q.dtype))
-            rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, Rw.astype(q.dtype))
-            rel = jnp.concatenate(
-                [
-                    rel_h.reshape(B, self.num_heads, N, H),
-                    rel_w.reshape(B, self.num_heads, N, W),
-                ],
-                axis=-1,
-            )
-            sel = make_rel_scatter(H, W, dtype=q.dtype)
+            # CPU fallback / odd head counts: same rel@sel formulation via
+            # XLA (or the q-tiled 3D kernel when a TPU is present).
+            rq = jnp.moveaxis(q, 1, 2).reshape(B, H, W, self.num_heads, head_dim)
+            rel, sel = rel_and_scatter(rq, rel_pos_h, rel_pos_w, H, W)
+            rel = jnp.moveaxis(
+                rel.reshape(B, N, self.num_heads, H + W), 2, 1
+            )  # (B, heads, N, H+W)
             qs = q * jnp.asarray(scale, q.dtype)
             if jax.default_backend() == "cpu":
                 out = xla_attention_relpos(qs, k, v, rel, sel)

@@ -288,6 +288,8 @@ def flash_qkv_packed_windows(
     Output stays head-leading (B, heads, nwin, Nw, d) for `proj_from_heads`.
     """
     B, nwin, Nw, _ = qkv.shape
+    if heads % head_group != 0:
+        head_group = heads  # tests/tiny shapes (TPU callers gate on 8 | heads)
     n_hg = heads // head_group
     gd = head_group * d
     kernel = functools.partial(_qkv_packed_windows_kernel, scale, head_group, d)
@@ -368,6 +370,8 @@ def flash_qkv_packed_plain(
     Output is head-leading (B, heads, S, d) for `proj_from_heads`.
     """
     B, S, _ = qkv.shape
+    if heads % head_group != 0:
+        head_group = heads  # tests/tiny shapes (TPU callers gate on 8 | heads)
     n_hg = heads // head_group
     gd = head_group * d
     kernel = functools.partial(_qkv_packed_plain_kernel, scale, head_group, d)
@@ -441,6 +445,10 @@ def flash_qkv_relpos_global(
     head_group: int = 8,
 ) -> jnp.ndarray:
     """Global-attention sibling of `flash_qkv_relpos_windows` (q tiled).
+
+    ABLATION-ONLY (like `flash_attention_fullk`): the production global path
+    in sam_encoder.py uses `flash_attention_relpos` because full-N K/V per
+    head-group exceed VMEM in the packed layout at batch 8.
 
     Requires heads % head_group == 0 (head_group % 8 == 0 for Mosaic block
     tiling); ViT-H has 16 heads. Callers fall back to the XLA path otherwise.

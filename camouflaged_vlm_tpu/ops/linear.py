@@ -37,11 +37,7 @@ def _linear_kernel(activation, x_ref, w_ref, b_ref, o_ref):
     acc = jax.lax.dot(
         x_ref[:], w_ref[:], preferred_element_type=jnp.float32
     )  # (bm, bn)
-    acc += b_ref[:].astype(jnp.float32)
-    if activation == "gelu_tanh":
-        acc = jax.nn.gelu(acc, approximate=True)
-    elif activation == "gelu":
-        acc = jax.nn.gelu(acc, approximate=False)
+    acc = _apply_act(acc + b_ref[:].astype(jnp.float32), activation)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -268,11 +264,7 @@ def _linear_bt_kernel(activation, x_ref, w_ref, b_ref, o_ref):
     acc = jax.lax.dot(
         x_ref[0], w_ref[:], preferred_element_type=jnp.float32
     )  # (S, bn)
-    acc += b_ref[:].astype(jnp.float32)
-    if activation == "gelu_tanh":
-        acc = jax.nn.gelu(acc, approximate=True)
-    elif activation == "quick_gelu":
-        acc = acc * jax.nn.sigmoid(1.702 * acc)
+    acc = _apply_act(acc + b_ref[:].astype(jnp.float32), activation)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
