@@ -27,7 +27,12 @@ import flax.linen as nn
 
 from ...ops.norms import LayerNormFP32
 from ...ops.flash_attention import flash_qkv_packed_plain
-from ...ops.linear import linear_pallas_bt, proj_from_heads
+from ...ops.linear import (
+    linear_pallas_bt,
+    linear_residual_bt,
+    ln_linear_act_bt,
+    proj_from_heads,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +183,49 @@ class ClipMLP(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="c_proj")(x)
 
 
+class _ParamsLN(nn.Module):
+    """LayerNormFP32-compatible params without applying the norm
+    (consumed by the fused MLP kernel)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+class _ParamsDense(nn.Module):
+    """nn.Dense-compatible params without applying the layer."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_dim, self.out_dim), jnp.float32,
+            ),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32),
+        )
+
+
+class _ParamsClipMLP(nn.Module):
+    """ClipMLP-compatible param tree for the fused kernels."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _ParamsDense(self.dim, 4 * self.dim, name="c_fc")()
+        w2, b2 = _ParamsDense(4 * self.dim, self.dim, name="c_proj")()
+        return w1, b1, w2, b2
+
+
 class ResidualBlock(nn.Module):
     """Pre-norm residual attention block shared by both towers."""
 
@@ -190,6 +238,20 @@ class ResidualBlock(nn.Module):
         x = x + ClipAttention(self.dim, self.num_heads, self.dtype, name="attn")(
             LayerNormFP32(eps=1e-5, name="ln_1")(x), attn_mask
         )
+        if jax.default_backend() != "cpu":
+            # Fused LN2 + QuickGELU MLP + residual via Pallas (same shape
+            # trick as sam_encoder.Block: LN into the first matmul's
+            # prologue, residual into the second's epilogue).
+            g2, be2 = _ParamsLN(self.dim, name="ln_2")()
+            w1, b1, w2, b2 = _ParamsClipMLP(self.dim, name="mlp")()
+            h = ln_linear_act_bt(
+                x, g2[None], be2[None],
+                w1.astype(self.dtype), b1.astype(self.dtype)[None],
+                eps=1e-5, activation="quick_gelu",
+            )
+            return linear_residual_bt(
+                h, w2.astype(self.dtype), b2.astype(self.dtype)[None], x
+            )
         x = x + ClipMLP(self.dim, self.dtype, name="mlp")(
             LayerNormFP32(eps=1e-5, name="ln_2")(x)
         )

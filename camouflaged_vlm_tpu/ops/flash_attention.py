@@ -498,6 +498,7 @@ def flash_qkv_relpos_global(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * N * N * (2 * d + hw),
@@ -564,6 +565,7 @@ def flash_attention_fullk(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * N * (d_qk + d_v),

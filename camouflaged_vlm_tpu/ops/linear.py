@@ -106,6 +106,7 @@ def linear_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * N,
@@ -308,6 +309,7 @@ def linear_pallas_bt(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S * K * N,
@@ -316,6 +318,137 @@ def linear_pallas_bt(
         ),
     )(x, w, b)
     return pallas_with_xla_vjp(run, ref)(x, w, b)
+
+
+def _ln_linear_act_bt_kernel(eps, activation, x_ref, g_ref, be_ref, w_ref, b_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)  # (S, K)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+    acc = jax.lax.dot(
+        xn.astype(o_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+    )
+    acc = _apply_act(acc + b_ref[:].astype(jnp.float32), activation)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def ln_linear_act_bt(
+    x: jnp.ndarray,       # (B, S, K) — S may be any length
+    gamma: jnp.ndarray,   # (1, K)
+    beta: jnp.ndarray,    # (1, K)
+    w: jnp.ndarray,       # (K, N)
+    b: jnp.ndarray,       # (1, N)
+    eps: float = 1e-5,
+    activation: str | None = "quick_gelu",
+    block_n: int = 2048,
+) -> jnp.ndarray:
+    """act(LN(x) @ w + b) for batched odd-length sequences (CLIP MLP half 1:
+    LN folds into the matmul prologue, QuickGELU into the epilogue)."""
+    B, S, K = x.shape
+    N = w.shape[1]
+    if N % block_n != 0:
+        block_n = N
+    kernel = functools.partial(_ln_linear_act_bt_kernel, eps, activation)
+
+    def ref(x, gamma, beta, w, b):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        acc = jnp.einsum(
+            "bsk,kn->bsn", xn.astype(x.dtype), w, preferred_element_type=jnp.float32
+        )
+        return _apply_act(acc + b.astype(jnp.float32), activation).astype(x.dtype)
+
+    run = lambda x, gamma, beta, w, b: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(N // block_n, B),
+            in_specs=[
+                pl.BlockSpec((1, S, K), lambda n, b_: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda n, b_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda n, b_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, block_n), lambda n, b_: (0, n),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda n, b_: (0, n),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, S, block_n), lambda n, b_: (b_, 0, n), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * K * N,
+            bytes_accessed=(x.size * max(1, N // block_n) + B * S * N) * x.dtype.itemsize,
+            transcendentals=B * S * N,
+        ),
+    )(x, gamma, beta, w, b)
+    return pallas_with_xla_vjp(run, ref)(x, gamma, beta, w, b)
+
+
+def _linear_residual_bt_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
+    acc = jax.lax.dot(
+        x_ref[0], w_ref[:], preferred_element_type=jnp.float32
+    )
+    acc += b_ref[:].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def linear_residual_bt(
+    x: jnp.ndarray,    # (B, S, K)
+    w: jnp.ndarray,    # (K, N)
+    b: jnp.ndarray,    # (1, N)
+    res: jnp.ndarray,  # (B, S, N)
+) -> jnp.ndarray:
+    """x @ w + b + res for batched odd-length sequences (CLIP MLP half 2)."""
+    B, S, K = x.shape
+    N = w.shape[1]
+
+    def ref(x, w, b, res):
+        acc = jnp.einsum("bsk,kn->bsn", x, w, preferred_element_type=jnp.float32)
+        return (acc + b.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
+
+    run = lambda x, w, b, res: pl.pallas_call(
+        _linear_residual_bt_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S, N), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, S, K), lambda b_: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, N), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N), lambda b_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, N), lambda b_: (b_, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, S, N), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * K * N,
+            bytes_accessed=(x.size + 2 * B * S * N) * x.dtype.itemsize
+            + w.size * w.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, w, b, res)
+    return pallas_with_xla_vjp(run, ref)(x, w, b, res)
 
 
 def _proj_kernel(heads, x_ref, w_ref, b_ref, o_ref):
@@ -370,6 +503,7 @@ def proj_from_heads(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * S * heads * d * out,
