@@ -63,22 +63,14 @@ def evaluate(
 
     n_done = 0
     t0 = time.time()
-    for batch in iter_eval_batches(
-        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers
-    ):
+
+    def consume(outs, batch):
+        """Host-side work for one finished batch (metrics, overlays)."""
+        nonlocal n_done
         B = len(batch)
-        pad = batch_size - B  # keep shapes static for the compiled program
-        inp = np.stack([s.inp for s in batch] + [batch[-1].inp] * pad)
-        cimg = np.stack([s.clip_image for s in batch] + [batch[-1].clip_image] * pad)
-        cmask = np.stack([s.clip_mask for s in batch] + [batch[-1].clip_mask] * pad)
-
-        probs, pred, score = run(
-            params, jnp.asarray(inp), jnp.asarray(cimg), jnp.asarray(cmask)
-        )
-        probs = np.asarray(probs)[:B, :, :, 0]
-        pred = np.asarray(pred)[:B]
-        score = np.asarray(score)[:B]
-
+        probs = np.asarray(outs[0])[:B, :, :, 0]
+        pred = np.asarray(outs[1])[:B]
+        score = np.asarray(outs[2])[:B]
         clf.process(score, np.asarray([s.label_id for s in batch]))
         for i, s in enumerate(batch):
             cod.step(probs[i], s.gt[:, :, 0])
@@ -102,6 +94,27 @@ def evaluate(
                     )
                 )
         n_done += B
+
+    # One-deep pipeline: dispatch batch k+1 (async) before fetching batch
+    # k's outputs, so per-image host metric work overlaps device compute
+    # (the reference's eval loop is fully serialised, SURVEY §3.2).
+    pending = None
+    for batch in iter_eval_batches(
+        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers
+    ):
+        B = len(batch)
+        pad = batch_size - B  # keep shapes static for the compiled program
+        inp = np.stack([s.inp for s in batch] + [batch[-1].inp] * pad)
+        cimg = np.stack([s.clip_image for s in batch] + [batch[-1].clip_image] * pad)
+        cmask = np.stack([s.clip_mask for s in batch] + [batch[-1].clip_mask] * pad)
+        outs = run(
+            params, jnp.asarray(inp), jnp.asarray(cimg), jnp.asarray(cmask)
+        )  # async dispatch — device starts while we drain the previous batch
+        if pending is not None:
+            consume(*pending)
+        pending = (outs, batch)
+    if pending is not None:
+        consume(*pending)
 
     elapsed = time.time() - t0
     ovcos = metricer.show()
