@@ -64,8 +64,39 @@ def evaluate(
     n_done = 0
     t0 = time.time()
 
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    # ALL per-image host work runs in this pool: cod.step's 256-threshold
+    # sweep + wFm distance transform alone cost tens of ms/image — run
+    # synchronously on the drain thread they cap eval at well under the
+    # device rate (VERDICT round-1 weak #6). CODMetrics/OVCOSMetricer
+    # accumulate via list.append (atomic; results are order-independent).
+    metric_pool = ThreadPoolExecutor(max_workers=num_workers)
+    metric_futures = []
+
+    def image_work(prob, s, pre_cls):
+        cod.step(prob, s.gt[:, :, 0])
+        gt = np.asarray(Image.open(s.mask_path).convert("L"))
+        h, w = gt.shape
+        pred_full = np.asarray(
+            Image.fromarray((prob * 255).astype(np.uint8)).resize(
+                (w, h), Image.BILINEAR
+            )
+        )
+        metricer.step(
+            pre=pred_full, gt=gt, pre_cls=pre_cls, gt_cls=s.label_name,
+            gt_path=s.mask_path,
+        )
+        if save_img_path:
+            Image.fromarray(pred_full).save(
+                os.path.join(
+                    save_img_path, f"[{pre_cls}]{os.path.basename(s.mask_path)}"
+                )
+            )
+
     def consume(outs, batch):
-        """Host-side work for one finished batch (metrics, overlays)."""
+        """Drain one finished batch; fan per-image work out to the pool."""
         nonlocal n_done
         B = len(batch)
         probs = np.asarray(outs[0])[:B, :, :, 0]
@@ -73,32 +104,16 @@ def evaluate(
         score = np.asarray(outs[2])[:B]
         clf.process(score, np.asarray([s.label_id for s in batch]))
         for i, s in enumerate(batch):
-            cod.step(probs[i], s.gt[:, :, 0])
-            gt = np.asarray(Image.open(s.mask_path).convert("L"))
-            h, w = gt.shape
-            pred_full = np.asarray(
-                Image.fromarray((probs[i] * 255).astype(np.uint8)).resize(
-                    (w, h), Image.BILINEAR
-                )
+            metric_futures.append(
+                metric_pool.submit(image_work, probs[i], s, classnames[int(pred[i])])
             )
-            pre_cls = classnames[int(pred[i])]
-            metricer.step(
-                pre=pred_full, gt=gt, pre_cls=pre_cls, gt_cls=s.label_name,
-                gt_path=s.mask_path,
-            )
-            if save_img_path:
-                Image.fromarray(pred_full).save(
-                    os.path.join(
-                        save_img_path,
-                        f"[{pre_cls}]{os.path.basename(s.mask_path)}",
-                    )
-                )
         n_done += B
 
-    # One-deep pipeline: dispatch batch k+1 (async) before fetching batch
-    # k's outputs, so per-image host metric work overlaps device compute
-    # (the reference's eval loop is fully serialised, SURVEY §3.2).
-    pending = None
+    # Two-deep pipeline: keep up to 2 batches in flight (async dispatch) so
+    # the host fetch + metric fan-out of batch k overlaps device compute of
+    # batches k+1/k+2 (the reference's eval loop is fully serialised,
+    # SURVEY §3.2).
+    pending = deque()
     for batch in iter_eval_batches(
         index, batch_size, cfg.inp_size, cfg.clip_size, num_workers
     ):
@@ -109,16 +124,19 @@ def evaluate(
         cmask = np.stack([s.clip_mask for s in batch] + [batch[-1].clip_mask] * pad)
         outs = run(
             params, jnp.asarray(inp), jnp.asarray(cimg), jnp.asarray(cmask)
-        )  # async dispatch — device starts while we drain the previous batch
-        if pending is not None:
-            consume(*pending)
-        pending = (outs, batch)
-    if pending is not None:
-        consume(*pending)
+        )
+        pending.append((outs, batch))
+        if len(pending) > 2:
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
+    for f in metric_futures:
+        f.result()  # surface worker exceptions; all image work done
+    metric_pool.shutdown(wait=False)
 
-    elapsed = time.time() - t0
     ovcos = metricer.show()
     ori_sm, ori_em, ori_wfm, ori_mae = cod.results()
+    elapsed = time.time() - t0  # includes metric drain: honest end-to-end rate
     cls_res = clf.evaluate()
     results = {
         **ovcos,

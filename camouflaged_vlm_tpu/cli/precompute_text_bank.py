@@ -28,6 +28,24 @@ from ..io.convert import convert_openai_clip
 from ..utils.logging import log
 
 
+def _make_encoder(clip_cfg: AlphaClipConfig, text_params: dict, token_embedding):
+    tower = ClipTextTower(clip_cfg)
+
+    @jax.jit
+    def encode(prompt_embeds, eot):
+        # no deep prompts: plain CLIP encode_text semantics
+        return tower.apply({"params": text_params}, prompt_embeds, eot, [])
+
+    def encode_prompts(prompts):
+        tokens = tokenize(prompts, clip_cfg.context_length)
+        embeds = jnp.asarray(token_embedding[tokens])
+        eot = jnp.asarray(tokens.argmax(axis=-1).astype(np.int32))
+        feats = np.asarray(encode(embeds, eot), np.float32)
+        return feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    return encode_prompts
+
+
 def encode_text_features(
     clip_cfg: AlphaClipConfig,
     text_params: dict,
@@ -36,33 +54,69 @@ def encode_text_features(
     templates,
     batch_size: int = 64,
 ) -> np.ndarray:
-    """(num_classes, embed_dim) normalised mean template embeddings."""
-    tower = ClipTextTower(clip_cfg)
-
-    @jax.jit
-    def encode(prompt_embeds, eot):
-        # no deep prompts: plain CLIP encode_text semantics
-        return tower.apply({"params": text_params}, prompt_embeds, eot, [])
-
+    """(num_classes, embed_dim) normalised mean template embeddings
+    (the reference's per-class ensembling loop, `alphaCLIP.py:148-163`)."""
+    encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
     out = []
     for name in classnames:
-        prompts = [t.format(name) for t in templates]
-        tokens = tokenize(prompts, clip_cfg.context_length)
-        embeds = jnp.asarray(token_embedding[tokens])
-        eot = jnp.asarray(tokens.argmax(axis=-1).astype(np.int32))
-        feats = np.asarray(encode(embeds, eot), np.float32)
-        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        feats = encode_prompts([t.format(name) for t in templates])
         mean = feats.mean(axis=0)
-        mean /= np.linalg.norm(mean)
-        out.append(mean)
+        out.append(mean / np.linalg.norm(mean))
     return np.stack(out)
+
+
+def encode_gpt_bank(
+    clip_cfg: AlphaClipConfig,
+    text_params: dict,
+    token_embedding: np.ndarray,
+    classnames,
+    gpt_json_path: str,
+) -> np.ndarray:
+    """CuPL-GPT per-class prompt bank (`alphaCLIP.py:195-223`): each class
+    has its own prompt list in the JSON (keys matched lowercase, underscores
+    as spaces); per-class mean of normalised features, rows renormalised at
+    the end. NOTE: the reference's CuPL JSONs are stripped upstream
+    (`/root/reference/.MISSING_LARGE_BLOBS`) — only the loading path is
+    portable; any CuPL-format JSON works here."""
+    import json
+
+    with open(gpt_json_path) as f:
+        gpt = json.load(f)
+    gpt = {k.lower().replace("_", " "): v for k, v in gpt.items()}
+    encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
+    out = []
+    for name in classnames:
+        feats = encode_prompts(gpt[name.lower().replace("_", " ")])
+        out.append(feats.mean(axis=0))
+    bank = np.stack(out)
+    return bank / np.linalg.norm(bank, axis=-1, keepdims=True)
+
+
+def combine_banks(banks) -> np.ndarray:
+    """The reference's cross-mode ensembling: each new bank is averaged
+    pairwise with the accumulated one, then renormalised
+    (`alphaCLIP.py:190-196,216-222,236-242`)."""
+    acc = banks[0]
+    for b in banks[1:]:
+        acc = np.stack([acc, b]).mean(axis=0)
+        acc = acc / np.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--clip-ckpt", required=True)
     p.add_argument("--split", default="test", choices=["train", "test"])
-    p.add_argument("--templates", default="camoprompts", choices=sorted(TEMPLATE_SETS))
+    p.add_argument(
+        "--templates", default="camoprompts",
+        help="comma-separated subset of %s — multiple modes are ensembled "
+        "with the reference's pairwise mean+renorm chain" % sorted(TEMPLATE_SETS),
+    )
+    p.add_argument(
+        "--gpt-json", default=None,
+        help="CuPL-GPT per-class prompts JSON (reference USE_GPT mode; the "
+        "upstream JSONs are stripped — supply your own)",
+    )
     p.add_argument("--classnames", default=None, help="comma-separated override")
     p.add_argument("--out", required=True, help=".npy output path")
     args = p.parse_args()
@@ -78,9 +132,22 @@ def main():
     else:
         names = TRAIN_CLASS_NAMES if args.split == "train" else TEST_CLASS_NAMES
 
-    bank = encode_text_features(
-        clip_cfg, text_params, token_embedding, names, TEMPLATE_SETS[args.templates]
-    )
+    banks = []
+    for mode in args.templates.split(","):
+        if mode not in TEMPLATE_SETS:
+            raise SystemExit(f"unknown template set {mode!r}; have {sorted(TEMPLATE_SETS)}")
+        banks.append(
+            encode_text_features(
+                clip_cfg, text_params, token_embedding, names, TEMPLATE_SETS[mode]
+            )
+        )
+        log(f"[bank] encoded {mode} ({len(TEMPLATE_SETS[mode])} templates)")
+    if args.gpt_json:
+        banks.append(
+            encode_gpt_bank(clip_cfg, text_params, token_embedding, names, args.gpt_json)
+        )
+        log("[bank] encoded CuPL-GPT prompts")
+    bank = combine_banks(banks)
     np.save(args.out, bank)
     log(f"wrote {bank.shape} bank to {args.out}")
 

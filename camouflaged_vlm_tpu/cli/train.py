@@ -33,7 +33,7 @@ from ..data.loader import iter_train_batches
 from ..data.transforms import ONES_ALPHA_VALUE
 from ..parallel import make_mesh, shard_params
 from ..train import make_optimizer, make_train_step, create_train_state
-from ..io.checkpoint import save_checkpoint
+from ..io.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging import log, set_log_file
 from ..utils.timer import Timer
 from .common import assemble_cascade
@@ -60,6 +60,18 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument(
+        "--stop-after-epoch", type=int, default=None,
+        help="fault injection: exit cleanly after this epoch's checkpoint "
+        "(simulates a kill for resume testing)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from <save-dir>/ckpt_last: restores params + optimizer "
+        "state + step (so the cosine schedule continues exactly), the epoch "
+        "counter and best val MAE. The reference's resume key restored only "
+        "the epoch counter (`train_ovcos_maskdecoder_edge.py:167-172`).",
+    )
     args = p.parse_args()
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -116,18 +128,47 @@ def main():
         eta_min=args.eta_min,
     )
     state = create_train_state(params, tx)
+
+    start_epoch, best_mae = 1, float("inf")
+    ckpt_last = os.path.join(args.save_dir, "ckpt_last")
+    meta_path = os.path.join(args.save_dir, "ckpt_meta.json")
+    if args.resume:
+        if not os.path.isdir(ckpt_last):
+            raise FileNotFoundError(f"--resume: no checkpoint at {ckpt_last}")
+        state = restore_checkpoint(ckpt_last, state)
+        # orbax restores scalars (step, optimizer counts) as committed
+        # single-device arrays while the params carry their mesh sharding —
+        # re-replicate anything that came back without a NamedSharding.
+        repl = NamedSharding(mesh, P())
+        state = jax.tree.map(
+            lambda a: a
+            if isinstance(getattr(a, "sharding", None), NamedSharding)
+            else jax.device_put(jnp.asarray(a), repl),
+            state,
+        )
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            best_mae = float(meta.get("best_mae", float("inf")))
+        log(
+            f"[resume] restored step {int(state.step)} from {ckpt_last}; "
+            f"continuing at epoch {start_epoch} (best mae {best_mae})"
+        )
+
     train_step = jax.jit(make_train_step(model, tx, loss_mode=args.loss))
 
     batch_shard = NamedSharding(mesh, P("data", None, None, None))
     repl = NamedSharding(mesh, P())
     static_bank = {k: jax.device_put(np.asarray(v), repl) for k, v in bank.items()}
 
-    rng = np.random.default_rng(args.seed)
-    best_mae = float("inf")
     timer = Timer()
     with mesh:
-        for epoch in range(1, args.epochs + 1):
+        for epoch in range(start_epoch, args.epochs + 1):
             timer.s()
+            # Per-epoch derived seed so a resumed run reproduces the exact
+            # shuffle/flip stream of the epochs it skips.
+            rng = np.random.default_rng([args.seed, epoch])
             losses = []
             for batch in iter_train_batches(
                 train_index, args.batch_size, rng, cfg.inp_size, cfg.clip_size
@@ -154,7 +195,12 @@ def main():
                 for k, v in losses.items():
                     writer.add_scalar(k, v, epoch)
 
-            save_checkpoint(os.path.join(args.save_dir, "ckpt_last"), state)
+            save_checkpoint(ckpt_last, state)
+            with open(meta_path, "w") as f:
+                json.dump({"epoch": epoch, "best_mae": best_mae}, f)
+            if args.stop_after_epoch == epoch:
+                log(f"[stop-after-epoch] exiting after epoch {epoch}")
+                return
 
             if epoch % args.epoch_val == 0:
                 results = evaluate(
@@ -169,6 +215,8 @@ def main():
                 if results.get("mae", 1.0) < best_mae:
                     best_mae = results["mae"]
                     save_checkpoint(os.path.join(args.save_dir, "ckpt_best"), state)
+                    with open(meta_path, "w") as f:
+                        json.dump({"epoch": epoch, "best_mae": best_mae}, f)
                     log(f"[val epoch {epoch}] new best mae {best_mae}")
 
     log("training done")

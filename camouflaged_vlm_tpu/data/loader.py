@@ -97,14 +97,19 @@ def iter_train_batches(
     probability 0.5, nearest-resized GT.
     """
     order = rng.permutation(len(index.samples))
+    # Flip decisions are drawn on the main thread (numpy Generator is not
+    # thread-safe; concurrent rng.random() from pool workers would make the
+    # augmentation non-deterministic despite seeding).
+    flips = rng.random(len(order)) < 0.5
 
-    def load(i: int):
+    def load(args):
+        i, flip = args
         s = index.samples[int(i)]
         img = Image.open(s.image_path).convert("RGB")
         mask = Image.open(s.mask_path).convert("L")
         img = maybe_rot90_to_match(img, mask)
         clip_img = clip_image_transform(img, clip_size)
-        if rng.random() < 0.5:
+        if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
         return (
@@ -116,7 +121,8 @@ def iter_train_batches(
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = list(pool.map(load, order[start : start + batch_size]))
+            sl = slice(start, start + batch_size)
+            chunk = list(pool.map(load, zip(order[sl], flips[sl])))
             inp, gt, cimg, label = zip(*chunk)
             yield {
                 "inp": np.stack(inp),
@@ -143,13 +149,15 @@ def iter_maple_train_batches(
     ground-truth mask and trains the prompt learner with cross-entropy.
     """
     order = rng.permutation(len(index.samples))
+    flips = rng.random(len(order)) < 0.5  # main-thread draw (see above)
 
-    def load(i: int):
+    def load(args):
+        i, flip = args
         s = index.samples[int(i)]
         img = Image.open(s.image_path).convert("RGB")
         mask = Image.open(s.mask_path).convert("L")
         img = maybe_rot90_to_match(img, mask)
-        if rng.random() < 0.5:
+        if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
         return (
@@ -160,7 +168,8 @@ def iter_maple_train_batches(
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = list(pool.map(load, order[start : start + batch_size]))
+            sl = slice(start, start + batch_size)
+            chunk = list(pool.map(load, zip(order[sl], flips[sl])))
             cimg, alpha, label = zip(*chunk)
             yield {
                 "clip_image": np.stack(cimg),

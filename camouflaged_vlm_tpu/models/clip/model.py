@@ -28,10 +28,10 @@ import flax.linen as nn
 from ...ops.norms import LayerNormFP32
 from ...ops.flash_attention import flash_qkv_packed_plain
 from ...ops.linear import (
-    linear_pallas_bt,
     linear_residual_bt,
     ln_linear_act_bt,
     proj_from_heads,
+    proj_from_heads_res,
 )
 
 
@@ -85,56 +85,48 @@ def build_causal_mask(length: int) -> jnp.ndarray:
     return jnp.triu(mask, k=1)
 
 
-class PallasClipDense(nn.Module):
-    """Dense via the Pallas batched-rows matmul kernel (param tree identical
-    to nn.Dense) — default-layout producer for the attention kernels."""
-
-    features: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x3d: jnp.ndarray) -> jnp.ndarray:  # (B, S, K)
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (x3d.shape[-1], self.features), jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return linear_pallas_bt(
-            x3d, kernel.astype(self.dtype), bias.astype(self.dtype)[None]
-        )
-
-
 class PallasClipProj(nn.Module):
     """Output projection consuming head-leading (B, heads, 1, S, d) directly
-    (param tree identical to nn.Dense)."""
+    (param tree identical to nn.Dense); optional fused residual epilogue."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x5d: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x5d: jnp.ndarray, res: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         B, heads, T, S, d = x5d.shape
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (heads * d, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return proj_from_heads(
-            x5d,
-            kernel.astype(self.dtype).reshape(heads, d, self.features),
-            bias.astype(self.dtype)[None],
-        )  # (B, T, S, features)
+        w = kernel.astype(self.dtype).reshape(heads, d, self.features)
+        b = bias.astype(self.dtype)[None]
+        if res is not None:
+            return proj_from_heads_res(x5d, w, b, res)
+        return proj_from_heads(x5d, w, b)  # (B, T, S, features)
 
 
 class ClipAttention(nn.Module):
-    """Fused-qkv multi-head attention (reference `Attention`, model.py:176-256)."""
+    """Fused-qkv multi-head attention (reference `Attention`, model.py:176-256).
+
+    Fused mode (`ln` given): x is the block's RAW input — ln_1 folds into the
+    qkv matmul prologue and `residual` into the projection epilogue."""
 
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        ln: Optional[tuple] = None,
+        residual: Optional[jnp.ndarray] = None,
+    ):
         B, L, _ = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
@@ -143,20 +135,27 @@ class ClipAttention(nn.Module):
         # transposes/copies (same design as the SAM encoder, sam_encoder.py).
         if (
             attn_mask is None
+            and ln is not None
             and jax.default_backend() != "cpu"
             and self.num_heads % 8 == 0
             and (8 * head_dim) % 128 == 0
         ):
-            qkv3d = PallasClipDense(
-                3 * self.dim, dtype=self.dtype, name="in_proj"
-            )(x)
+            g1, be1 = ln
+            wq, bq = _ParamsDense(self.dim, 3 * self.dim, name="in_proj")()
+            qkv3d = ln_linear_act_bt(
+                x, g1[None], be1[None],
+                wq.astype(self.dtype), bq.astype(self.dtype)[None],
+                eps=1e-5, activation=None,
+            )
             out = flash_qkv_packed_plain(
                 qkv3d, scale, self.num_heads, head_dim
             )  # (B, heads, L, hd)
+            res5 = residual.reshape(B, 1, L, self.dim) if residual is not None else None
             y = PallasClipProj(self.dim, dtype=self.dtype, name="out_proj")(
-                out.reshape(B, self.num_heads, 1, L, head_dim)
+                out.reshape(B, self.num_heads, 1, L, head_dim), res5
             )
             return y.reshape(B, L, self.dim)
+        assert ln is None, "fused ln requires the Pallas path (caller gates)"
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="in_proj")(x)
         qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -235,9 +234,20 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
-        x = x + ClipAttention(self.dim, self.num_heads, self.dtype, name="attn")(
-            LayerNormFP32(eps=1e-5, name="ln_1")(x), attn_mask
-        )
+        head_dim = self.dim // self.num_heads
+        attn = ClipAttention(self.dim, self.num_heads, self.dtype, name="attn")
+        if (
+            attn_mask is None
+            and jax.default_backend() != "cpu"
+            and self.num_heads % 8 == 0
+            and (8 * head_dim) % 128 == 0
+        ):
+            # ln_1 folds into the qkv prologue and the residual into the
+            # projection epilogue (same fusion as the SAM encoder blocks).
+            g1, be1 = _ParamsLN(self.dim, name="ln_1")()
+            x = attn(x, None, ln=(g1, be1), residual=x)
+        else:
+            x = x + attn(LayerNormFP32(eps=1e-5, name="ln_1")(x), attn_mask)
         if jax.default_backend() != "cpu":
             # Fused LN2 + QuickGELU MLP + residual via Pallas (same shape
             # trick as sam_encoder.Block: LN into the first matmul's

@@ -33,12 +33,17 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.norms import LayerNormFP32
-from ..ops.window import window_partition, window_unpartition
+from ..ops.window import (
+    window_partition_seq,
+    window_unpartition_seq,
+    window_valid_mask,
+)
 from ..ops.rel_pos import attention_with_decomposed_rel_pos, get_rel_pos_table
 from ..ops.aug_attention import augment_qk, attention_xla
 from ..ops.flash_attention import (
     flash_attention_fullk,
     flash_attention_relpos,
+    flash_qkv_packed_global,
     flash_qkv_packed_windows,
     flash_qkv_relpos_windows,
     make_rel_scatter,
@@ -47,9 +52,11 @@ from ..ops.flash_attention import (
 from ..ops.fft_prompt import fft_highpass
 from ..ops.linear import (
     linear_pallas,
-    linear_residual_pallas,
-    ln_linear_gelu_pallas,
+    linear_residual_bt,
+    ln_linear_act_bt,
+    ln_mask_linear_bt,
     proj_from_heads,
+    proj_from_heads_res,
 )
 
 
@@ -115,51 +122,81 @@ class SamEncoderConfig:
         return cls(**defaults)
 
 
-class PallasDense(nn.Module):
-    """Dense layer computed by the Pallas matmul kernel (param tree identical
-    to nn.Dense). Exists so the attention kernels' operands are produced in
-    the default layout — an XLA conv-fusion producer forces a full layout
-    copy of the qkv tensor in front of every pallas_call (ops/linear.py)."""
+class PatchEmbedMatmul(nn.Module):
+    """Patch-embed conv (kernel==stride, VALID) computed as one matmul on
+    rearranged patches — param tree identical to nn.Conv.
+
+    XLA's convolution fusion for the 3-channel stem ran at ~14 TF/s and
+    forced layout copies of the 1024^2 input (~9 ms/pass at batch 8); the
+    rearrange+matmul formulation runs on the MXU at matmul rate. Equivalent
+    of the reference `PatchEmbed`/`PatchEmbed2`
+    (`image_encoder.py:628-657,355-381`)."""
 
     features: int
+    patch: int
     dtype: jnp.dtype = jnp.float32
-    block_m: int = 512
-    block_n: int = 1920
 
     @nn.compact
-    def __call__(self, x2d: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
+        B, H, W, C = x.shape
+        p = self.patch
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (x2d.shape[-1], self.features), jnp.float32,
+            (p, p, C, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return linear_pallas(
-            x2d, kernel.astype(self.dtype), bias.astype(self.dtype)[None],
-            block_m=self.block_m, block_n=self.block_n,
+        gh, gw = H // p, W // p
+        x2 = (
+            x.astype(self.dtype)
+            .reshape(B, gh, p, gw, p, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B * gh * gw, p * p * C)
         )
+        w2 = kernel.astype(self.dtype).reshape(p * p * C, self.features)
+        if (
+            self.features % 128 == 0
+            and x2.shape[0] % 8 == 0
+            and jax.default_backend() != "cpu"
+        ):
+            y = linear_pallas(x2, w2, bias.astype(self.dtype)[None])
+        else:
+            y = x2 @ w2 + bias.astype(x2.dtype)
+        return y.reshape(B, gh, gw, self.features)
 
 
 class PallasHeadProj(nn.Module):
     """Output projection consuming the attention kernels' head-leading
-    (B, heads, T, S, d) layout directly (param tree identical to nn.Dense)."""
+    (B, heads, T, S, d) layout directly (param tree identical to nn.Dense).
+    An optional residual (B, T, S, features) folds into the epilogue."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x5d: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x5d: jnp.ndarray, res: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         B, heads, T, S, d = x5d.shape
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (heads * d, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = proj_from_heads(
-            x5d,
-            kernel.astype(self.dtype).reshape(heads, d, self.features),
-            bias.astype(self.dtype)[None],
-        )
-        return y  # (B, T, S, features)
+        w = kernel.astype(self.dtype).reshape(heads, d, self.features)
+        b = bias.astype(self.dtype)[None]
+        if res is not None:
+            return proj_from_heads_res(x5d, w, b, res)
+        return proj_from_heads(x5d, w, b)  # (B, T, S, features)
+
+
+def fused_attention_enabled(attn_impl: str, use_rel_pos: bool, num_heads: int) -> bool:
+    """The Pallas attention data path (qkv/attention/proj kernels)."""
+    return (
+        attn_impl == "flash"
+        and use_rel_pos
+        and num_heads % 8 == 0
+        and jax.default_backend() != "cpu"
+    )
 
 
 def rel_and_scatter(q_heads, rel_pos_h, rel_pos_w, H, W):
@@ -177,12 +214,46 @@ def rel_and_scatter(q_heads, rel_pos_h, rel_pos_w, H, W):
     return rel, make_rel_scatter(H, W, dtype=q_heads.dtype)
 
 
+def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
+    """`rel_and_scatter` fused into ONE einsum with the 32-lane pad built in.
+
+    The two-einsum + concat + pad formulation materialised four lane-padded
+    intermediates per block (measured ~1.9 ms/block at batch 8 — the rel
+    chain was ~52 ms/pass). Here the per-(qh, qw) tables are pre-combined
+    into `Rcomb[(qh, qw), c, j]` (j = [kh | kw | 0-pad] of width 32, a tiny
+    (H, W, hd, 32) constant-shaped tensor), so XLA emits a single batched
+    matmul whose output is already the kernel's packed layout.
+
+    Returns (rel (..., H, W, heads, 32), sel32 (32, H*W))."""
+    assert H + W <= 32, (H, W)
+    dt = q_heads.dtype
+    Rh = get_rel_pos_table(H, H, rel_pos_h).astype(dt)  # (H, kh, hd)
+    Rw = get_rel_pos_table(W, W, rel_pos_w).astype(dt)  # (W, kw, hd)
+    hd = Rh.shape[-1]
+    Rcomb = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.transpose(Rh, (0, 2, 1))[:, None], (H, W, hd, H)
+            ),
+            jnp.broadcast_to(
+                jnp.transpose(Rw, (0, 2, 1))[None, :], (H, W, hd, W)
+            ),
+            jnp.zeros((H, W, hd, 32 - H - W), dt),
+        ],
+        axis=-1,
+    )  # (H, W, hd, 32)
+    rel = jnp.einsum("...hwnc,hwcj->...hwnj", q_heads, Rcomb)
+    sel = make_rel_scatter(H, W, dtype=dt)
+    sel32 = jnp.pad(sel, ((0, 32 - H - W), (0, 0)))
+    return rel, sel32
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed rel-pos bias.
 
-    TPU path ('aug_*'): the bias is folded into augmented q'/k' features
-    (see ops/aug_attention.py), so global blocks run a standard Pallas flash
-    kernel and never materialise (4096 x 4096) logits in HBM.
+    Input/output are SEQUENCE-shaped (B', S, C) with S == H*W from
+    `input_size`: windowed callers fold windows into B' (carry layout — see
+    Block), global callers pass (B, H*W, C) (a free reshape of the grid).
     """
 
     dim: int
@@ -194,25 +265,40 @@ class Attention(nn.Module):
     num_windows: int = 1  # windows folded into the batch dim (set by Block)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, H, W, _ = x.shape
-        N = H * W
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        mask: Optional[jnp.ndarray] = None,
+        residual: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Fused mode (ln is not None): x is the block's RAW input; LN1 (+pad
+        mask) folds into the qkv matmul prologue and `residual` into the
+        projection epilogue — Block's pre-norm and post-add never touch HBM.
+        Legacy mode (ln None): x arrives normed(+masked); caller adds the
+        residual."""
+        B, N, _ = x.shape
+        H, W = self.input_size
+        assert N == H * W, (N, H, W)
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        use_fused = (
-            self.attn_impl == "flash"
-            and self.use_rel_pos
-            and self.num_heads % 8 == 0
-            and jax.default_backend() != "cpu"
+        use_fused = ln is not None and fused_attention_enabled(
+            self.attn_impl, self.use_rel_pos, self.num_heads
         )
         if use_fused:
-            # keep the 2D kernel output as THE node; every consumer reshapes
-            # it independently so no intermediate gets stuck with a layout
-            # another consumer dislikes (a shared 4D view measured 54 ms of
-            # materialised reshapes per pass)
-            qkv2d = PallasDense(
-                3 * self.dim, dtype=self.dtype, name="qkv"
-            )(x.reshape(B * N, self.dim))
+            # Pallas producer keeps the qkv tensor in the default layout AND
+            # in the (B', S, 3C) tiling the attention kernels read — no
+            # retile between the matmul and the attention (the 2D<->window
+            # reshape alone cost ~26 ms/pass at batch 8: 196 % 8 != 0 forces
+            # a physical sublane re-tiling).
+            g1, be1 = ln
+            wq, bq = _ParamsDense(self.dim, 3 * self.dim, name="qkv")()
+            m = mask if mask is not None else jnp.ones((1, N, 1), jnp.float32)
+            qkv3d = ln_mask_linear_bt(
+                x, g1[None], be1[None], m.astype(x.dtype),
+                wq.astype(self.dtype), bq.astype(self.dtype)[None],
+                eps=1e-6,
+            )
             qkv = None
         else:
             qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
@@ -238,51 +324,49 @@ class Attention(nn.Module):
             # via BlockSpec index maps, so no transpose/pad/copy of the qkv
             # tensor ever materialises, and the output lands a free reshape
             # away from the layout `proj` consumes.
-            qh = qkv2d[:, : self.dim].reshape(B, H, W, self.num_heads, head_dim)
-            rel, sel = rel_and_scatter(qh, rel_pos_h, rel_pos_w, H, W)
+            qh = qkv3d[:, :, : self.dim].reshape(B, H, W, self.num_heads, head_dim)
             nwin = self.num_windows
             if (nwin > 1 or N <= 512) and H + W <= 32:
-                # pad rel to 32 lanes/head and pack; the qkv stays the raw
-                # packed projection output (a bitcast view, NOT the 5D
-                # lane-padded layout, which costs a 68 ms reshape pair)
-                rel_p = jnp.pad(rel, ((0, 0),) * 4 + ((0, 32 - (H + W)),))
-                sel32 = jnp.pad(sel, ((0, 32 - (H + W)), (0, 0)))
+                # single combined-table einsum emits rel already padded to
+                # 32 lanes/head; the qkv stays the raw packed projection
+                # output (a bitcast view, NOT the 5D lane-padded layout,
+                # which costs a 68 ms reshape pair)
+                rel_p, sel32 = rel_packed32(qh, rel_pos_h, rel_pos_w, H, W)
                 out = flash_qkv_packed_windows(
-                    qkv2d.reshape(B // nwin, nwin, N, 3 * self.dim),
+                    qkv3d.reshape(B // nwin, nwin, N, 3 * self.dim),
                     rel_p.reshape(B // nwin, nwin, N, self.num_heads * 32),
                     sel32, scale, self.num_heads, head_dim,
                 )  # (B/nwin, heads, nwin, Nw, hd) — already proj-tiled 5D
             elif nwin > 1 or N <= 512:
+                rel, sel = rel_and_scatter(qh, rel_pos_h, rel_pos_w, H, W)
                 out = flash_qkv_relpos_windows(
-                    qkv2d.reshape(B // nwin, nwin, N, 3 * self.num_heads, head_dim),
+                    qkv3d.reshape(B // nwin, nwin, N, 3 * self.num_heads, head_dim),
                     rel.reshape(B // nwin, nwin, N, self.num_heads, H + W),
                     sel, scale,
                 )  # (B/nwin, heads, nwin, Nw, hd)
             else:
-                # Global blocks (4 of 32): full-N K/V per head exceed VMEM for
-                # the packed layout, so split q/k/v here and use the q-tiled
-                # 3D kernel (one relayout; only 4 blocks pay it).
-                qkv_s = qkv2d.reshape(B, N, 3, self.num_heads, head_dim)
-                qkv_s = qkv_s.transpose(2, 0, 3, 1, 4)
-                q, k, v = qkv_s[0], qkv_s[1], qkv_s[2]
-                qs = q * jnp.asarray(scale, q.dtype)
-                d_p = ((head_dim + 127) // 128) * 128
-                pad = ((0, 0), (0, 0), (0, 0), (0, d_p - head_dim))
-                out = flash_attention_relpos(
-                    jnp.pad(qs, pad).reshape(B * self.num_heads, N, d_p),
-                    jnp.pad(k, pad).reshape(B * self.num_heads, N, d_p),
-                    jnp.pad(v, pad).reshape(B * self.num_heads, N, d_p),
-                    jnp.moveaxis(rel.reshape(B, N, self.num_heads, H + W), 2, 1)
-                    .reshape(B * self.num_heads, N, H + W),
-                    sel,
-                )
-                out = out.reshape(B, self.num_heads, N, d_p)[..., :head_dim]
+                # Global blocks (4 of 32): packed-lane q-tiled kernel straight
+                # off the qkv projection — no (B,N,3,heads,d) transpose and no
+                # 80->128 lane pad in HBM (those cost ~15 ms/pass at batch 8).
+                # rel (B,H,W,heads,H+W) -> (B,N,heads*(H+W)) is a free lane
+                # collapse when (H+W) % 128 == 0 (ViT-H global: 64+64).
+                rel, sel = rel_and_scatter(qh, rel_pos_h, rel_pos_w, H, W)
+                out = flash_qkv_packed_global(
+                    qkv3d,
+                    rel.reshape(B, N, self.num_heads * (H + W)),
+                    sel, scale, self.num_heads, head_dim,
+                )  # (B, heads, N, hd)
                 tile = 512 if N % 512 == 0 else N
                 out = out.reshape(B, self.num_heads, N // tile, tile, head_dim)
             # head-leading (B', heads, T, S, hd) goes straight into the
-            # projection kernel — the head moveaxis never materialises.
-            y = PallasHeadProj(self.dim, dtype=self.dtype, name="proj")(out)
-            return y.reshape(B, H, W, self.dim)
+            # projection kernel — the head moveaxis never materialises, and
+            # the block residual rides the projection epilogue.
+            res = None
+            if residual is not None:
+                _, _, T_, S_, _ = out.shape
+                res = residual.reshape(out.shape[0], T_, S_, self.dim)
+            y = PallasHeadProj(self.dim, dtype=self.dtype, name="proj")(out, res)
+            return y.reshape(B, N, self.dim)
 
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, heads, N, hd)
@@ -332,7 +416,7 @@ class Attention(nn.Module):
             else:
                 out = attention_xla(q_aug, k_aug, v)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -394,39 +478,57 @@ class _ParamsMLP(nn.Module):
 
 
 class Block(nn.Module):
-    """ViT block: windowed (window_size > 0) or global attention."""
+    """ViT block on SEQUENCE layout (B', S, C).
+
+    Windowed blocks (window_size > 0) run in the window-carry layout:
+    B' = B * nWin, S = window^2, and `mask` re-zeroes padded tokens after
+    LN1 (the reference zero-pads activations after LN1 per block,
+    `image_encoder.py:427-431`; in carry mode the pad lanes persist between
+    blocks and accumulate garbage that must not reach attention). Global
+    blocks get (B, H*W, C) with mask=None.
+    """
 
     cfg: SamEncoderConfig
     window_size: int
+    num_windows: int = 1  # windows folded into B' (window-carry)
+    attn_size: Optional[Tuple[int, int]] = None  # (H, W) for global blocks
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         cfg = self.cfg
-        shortcut = x
-        x = LayerNormFP32(eps=1e-6, name="norm1")(x)
-        H, W = x.shape[1], x.shape[2]
-        num_windows = 1
         if self.window_size > 0:
-            x, pad_hw = window_partition(x, self.window_size)
             attn_size = (self.window_size, self.window_size)
-            num_windows = (pad_hw[0] // self.window_size) * (
-                pad_hw[1] // self.window_size
-            )
         else:
-            attn_size = (H, W)
-        x = Attention(
+            attn_size = self.attn_size
+        assert attn_size is not None
+        attn = Attention(
             dim=cfg.embed_dim,
             num_heads=cfg.num_heads,
             use_rel_pos=cfg.use_rel_pos,
             input_size=attn_size,
             dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
-            num_windows=num_windows,
+            num_windows=self.num_windows,
             name="attn",
-        )(x)
-        if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
-        x = shortcut + x
+        )
+        if fused_attention_enabled(cfg.attn_impl, cfg.use_rel_pos, cfg.num_heads):
+            # LN1(+mask) fused into the qkv prologue, residual into the proj
+            # epilogue — see Attention.
+            g1, be1 = _ParamsLN(cfg.embed_dim, name="norm1")()
+            x = attn(x, ln=(g1, be1), mask=mask, residual=x)
+        else:
+            shortcut = x
+            x = LayerNormFP32(eps=1e-6, name="norm1")(x)
+            if mask is not None:
+                # mask: (nwin, S, 1); broadcast over the leading B'=B*nwin
+                B0 = x.shape[0] // mask.shape[0]
+                x = (
+                    x.reshape(B0, mask.shape[0], *x.shape[1:])
+                    * mask[None].astype(x.dtype)
+                ).reshape(x.shape)
+            x = shortcut + attn(x)
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         if cfg.attn_impl == "flash" and jax.default_backend() != "cpu":
             # Fused LN2 + MLP via Pallas: LN folds into the first matmul's
@@ -436,17 +538,16 @@ class Block(nn.Module):
             # so LN must see the unpadded tensor.)
             g2, be2 = _ParamsLN(cfg.embed_dim, name="norm2")()
             w1, b1, w2, b2 = _ParamsMLP(cfg.embed_dim, hidden, name="mlp")()
-            Bb = x.shape[0]
-            x2 = x.reshape(Bb * H * W, cfg.embed_dim)
-            h = ln_linear_gelu_pallas(
-                x2, g2[None], be2[None],
+            h = ln_linear_act_bt(
+                x, g2[None], be2[None],
                 w1.astype(cfg.dtype), b1.astype(cfg.dtype)[None],
-                eps=1e-6, approximate=cfg.gelu_approximate,
+                eps=1e-6,
+                activation="gelu_tanh" if cfg.gelu_approximate else "gelu",
+                block_n=2560,
             )
-            x = linear_residual_pallas(
-                h, w2.astype(cfg.dtype), b2.astype(cfg.dtype)[None], x2
-            ).reshape(Bb, H, W, cfg.embed_dim)
-            return x
+            return linear_residual_bt(
+                h, w2.astype(cfg.dtype), b2.astype(cfg.dtype)[None], x
+            )
         y = LayerNormFP32(eps=1e-6, name="norm2")(x)
         x = x + MLPBlock(
             dim=cfg.embed_dim,
@@ -472,13 +573,9 @@ class PromptGenerator(nn.Module):
         self.embedding_generator = nn.Dense(
             cfg.prompt_dim, dtype=cfg.dtype, name="embedding_generator"
         )
-        # PatchEmbed2: conv over the FFT high-passed image.
-        self.handcrafted_embed = nn.Conv(
-            cfg.prompt_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=cfg.dtype,
+        # PatchEmbed2: conv over the FFT high-passed image (as a matmul).
+        self.handcrafted_embed = PatchEmbedMatmul(
+            cfg.prompt_dim, cfg.patch_size, dtype=cfg.dtype,
             name="handcrafted_embed",
         )
         self.lightweight_mlps = [
@@ -488,11 +585,22 @@ class PromptGenerator(nn.Module):
         self.shared_mlp = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="shared_mlp")
 
     def init_features(self, image: jnp.ndarray, patch_tokens: jnp.ndarray):
-        """image: (B, H, W, 3) preprocessed input; patch_tokens: (B, h, w, D)."""
+        """image: (B, H, W, 3) preprocessed input; patch_tokens: (B, h, w, D).
+
+        QUIRK (load-bearing for checkpoint parity): the reference's
+        `init_embeddings` (`image_encoder.py:283-286`) reshapes the NHWC
+        patch tokens as `(N, C, H*W)` WITHOUT permuting first — a raw memory
+        reinterpretation that scrambles tokens against channels before the
+        embedding_generator. The trained prompt-generator weights absorbed
+        that scramble, so we replicate it exactly (golden-parity-tested in
+        tests/test_golden_parity.py).
+        """
         handcrafted = self.handcrafted_embed(
             fft_highpass(image, self.cfg.freq_rate).astype(self.cfg.dtype)
         )  # (B, h, w, prompt_dim)
-        embedding = self.embedding_generator(patch_tokens)  # (B, h, w, prompt_dim)
+        B, h, w, D = patch_tokens.shape
+        scrambled = patch_tokens.reshape(B, D, h * w).transpose(0, 2, 1)
+        embedding = self.embedding_generator(scrambled).reshape(B, h, w, -1)
         return handcrafted + embedding
 
     def block_prompt(self, features: jnp.ndarray, i: int) -> jnp.ndarray:
@@ -512,14 +620,9 @@ class ImageEncoderViT(nn.Module):
     ):
         cfg = self.cfg
         inp = x
-        x = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=cfg.dtype,
-            name="patch_embed",
-        )(x.astype(cfg.dtype))  # (B, h, w, D)
+        x = PatchEmbedMatmul(
+            cfg.embed_dim, cfg.patch_size, dtype=cfg.dtype, name="patch_embed"
+        )(x)  # (B, h, w, D)
 
         prompt_gen = PromptGenerator(cfg, name="prompt_generator")
         prompt_features = prompt_gen.init_features(inp, x)
@@ -532,14 +635,44 @@ class ImageEncoderViT(nn.Module):
         )
         x = x + pos_embed.astype(cfg.dtype)
 
+        B, H, W, D = x.shape
+        win = cfg.window_size
+        has_windows = win > 0 and any(
+            i not in cfg.global_attn_indexes for i in range(cfg.depth)
+        )
+        if has_windows:
+            # Window-carry: partition ONCE per windowed run (the reference
+            # partitions + unpartitions around every block's attention); the
+            # carry layout is (B*nWin, win^2, C) and `valid` re-zeroes the
+            # structural pad tokens after each LN1 (see Block).
+            valid = window_valid_mask(H, W, win)
+            pf_w, pf_pad_hw = window_partition_seq(prompt_features, win)
+            nwin = valid.shape[0]
+
         block_cls = nn.remat(Block) if cfg.remat else Block
         interm_embeddings = []
+        x_w = None  # carry-layout activations (None <=> x holds grid layout)
         for i in range(cfg.depth):
-            window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-            x = x + prompt_gen.block_prompt(prompt_features, i)
-            x = block_cls(cfg, window_size=window, name=f"block_{i}")(x)
-            if interm and window == 0:
-                interm_embeddings.append(x)
+            windowed = win > 0 and i not in cfg.global_attn_indexes
+            if windowed:
+                if x_w is None:
+                    x_w, pad_hw = window_partition_seq(x, win)
+                x_w = x_w + prompt_gen.block_prompt(pf_w, i)
+                x_w = block_cls(
+                    cfg, window_size=win, num_windows=nwin, name=f"block_{i}"
+                )(x_w, valid)
+            else:
+                if x_w is not None:
+                    x = window_unpartition_seq(x_w, win, pad_hw, (H, W))
+                    x_w = None
+                x = x + prompt_gen.block_prompt(prompt_features, i)
+                x = block_cls(
+                    cfg, window_size=0, attn_size=(H, W), name=f"block_{i}"
+                )(x.reshape(B, H * W, D)).reshape(B, H, W, D)
+                if interm:
+                    interm_embeddings.append(x)
+        if x_w is not None:
+            x = window_unpartition_seq(x_w, win, pad_hw, (H, W))
 
         # Neck: 1x1 conv -> LN -> 3x3 conv -> LN (all channel-last).
         y = nn.Conv(

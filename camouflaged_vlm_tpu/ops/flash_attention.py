@@ -36,6 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .vjp import pallas_with_xla_vjp
 
+# Packed-lane kernels slice head groups out of the raw qkv projection; the
+# slices must land on hardware lane-tile boundaries. Module-level so tests
+# can shrink it to exercise the kernels in interpret mode on tiny shapes.
+_LANE_ALIGN = 128
+
 
 def _relpos_kernel(q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
     q = q_ref[0]      # (block_q, d) — pre-scaled
@@ -247,26 +252,32 @@ def flash_qkv_relpos_windows(
 
 
 def _qkv_packed_windows_kernel(scale, head_group, d, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
-    # Packed-lane variant: q/k/v arrive as (Nw, head_group*d) straight off the
-    # qkv projection (no 5D lane-padded view -> no 60%-inflated HBM reshape);
-    # heads are peeled with static lane slices in VMEM. rel arrives padded to
-    # 32 lanes/head so its slices stay tile-aligned; sel has 32 rows (4 zero).
+    # Packed-lane variant: q/k/v arrive as (wg, Nw, head_group*d) straight off
+    # the qkv projection (no 5D lane-padded view -> no 60%-inflated HBM
+    # reshape); heads are peeled with static lane slices in VMEM; `wg` windows
+    # ride the dot's (single, leading) batch dim so the MXU pipelines several
+    # small (Nw, d) matmuls per issue. rel arrives padded to 32 lanes/head so
+    # its slices stay tile-aligned; sel has 32 rows (4 zero).
     sel = sel_ref[:]  # (32, Nw)
     for h in range(head_group):
-        q = q_ref[0, 0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
-        k = k_ref[0, 0][:, h * d : (h + 1) * d]   # (Nw, d)
-        v = v_ref[0, 0][:, h * d : (h + 1) * d]
-        rel = rel_ref[0, 0][:, h * 32 : (h + 1) * 32]  # (Nw, 32)
+        q = q_ref[0][:, :, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0][:, :, h * d : (h + 1) * d]   # (wg, Nw, d)
+        v = v_ref[0][:, :, h * d : (h + 1) * d]
+        rel = rel_ref[0][:, :, h * 32 : (h + 1) * 32]  # (wg, Nw, 32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Nw, Nw)
-        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (wg, Nw, Nw)
+        s += jax.lax.dot_general(
+            rel, sel, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(v.dtype)
-        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[0, h, 0] = o.astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (wg, Nw, d)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def flash_qkv_packed_windows(
@@ -277,6 +288,7 @@ def flash_qkv_packed_windows(
     heads: int,
     d: int,
     head_group: int = 8,
+    win_group: int = 5,
 ) -> jnp.ndarray:
     """Windowed rel-pos attention on the UNPADDED packed qkv layout.
 
@@ -284,12 +296,15 @@ def flash_qkv_packed_windows(
     d=80 -> 128 in HBM, which XLA materialises as a 40+28 ms reshape pair per
     batch-8 encoder pass. Here blocks slice 640-lane (= head_group*d) chunks
     of the raw 3840-lane tensor (640 % 128 == 0, so Mosaic-tileable with no
-    physical padding) and heads are peeled with static lane slices in VMEM.
-    Output stays head-leading (B, heads, nwin, Nw, d) for `proj_from_heads`.
+    physical padding), heads are peeled with static lane slices in VMEM, and
+    `win_group` windows ride the matmul batch dim. Output stays head-leading
+    (B, heads, nwin, Nw, d) for `proj_from_heads`.
     """
     B, nwin, Nw, _ = qkv.shape
     if heads % head_group != 0:
         head_group = heads  # tests/tiny shapes (TPU callers gate on 8 | heads)
+    if nwin % win_group != 0:
+        win_group = 1
     n_hg = heads // head_group
     gd = head_group * d
     kernel = functools.partial(_qkv_packed_windows_kernel, scale, head_group, d)
@@ -303,23 +318,29 @@ def flash_qkv_packed_windows(
         relh = jnp.moveaxis(rel.reshape(B, nwin, Nw, heads, 32), 3, 1)
         return xla_attention_relpos(q, k, v, relh, sel32)
 
+    if gd % _LANE_ALIGN != 0:
+        # The packed layout needs lane-aligned head-group slices; rather than
+        # silently widening head_group past the alignment contract, use the
+        # XLA formulation (only tiny/test shapes land here).
+        return ref(qkv, rel, sel32)
+
     run = lambda qkv, rel, sel32: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
         grid_spec=pl.GridSpec(
-            grid=(B, nwin, n_hg),
+            grid=(B, nwin // win_group, n_hg),
             in_specs=[
-                pl.BlockSpec((1, 1, Nw, gd), blk(0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Nw, gd), blk(1), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Nw, gd), blk(2), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Nw, head_group * 32),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(2), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, head_group * 32),
                              lambda b, w, g: (b, w, 0, g),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((32, Nw), lambda b, w, g: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, head_group, 1, Nw, d),
+                (1, head_group, win_group, Nw, d),
                 lambda b, w, g: (b, g, w, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -377,7 +398,7 @@ def flash_qkv_packed_plain(
     kernel = functools.partial(_qkv_packed_plain_kernel, scale, head_group, d)
     blk = lambda role: (lambda b, g: (b, 0, role * n_hg + g))
 
-    def ref(qkv):
+    def ref(qkv):  # noqa: ANN001 — XLA fallback + VJP reference
         r = qkv.reshape(B, S, 3, heads, d)
         q = jnp.moveaxis(r[:, :, 0], 2, 1) * jnp.asarray(scale, qkv.dtype)
         k = jnp.moveaxis(r[:, :, 1], 2, 1)
@@ -387,6 +408,9 @@ def flash_qkv_packed_plain(
         return jnp.einsum(
             "bhqk,bhkc->bhqc", p, v, preferred_element_type=jnp.float32
         ).astype(v.dtype)
+
+    if gd % _LANE_ALIGN != 0:
+        return ref(qkv)  # lane alignment contract (see flash_qkv_packed_windows)
 
     run = lambda qkv: pl.pallas_call(
         kernel,
@@ -414,6 +438,105 @@ def flash_qkv_packed_plain(
         ),
     )(qkv, qkv, qkv)
     return pallas_with_xla_vjp(run, ref)(qkv)
+
+
+def _qkv_packed_global_kernel(scale, head_group, d, hw, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+    # Packed-lane global attention: q/k/v arrive as raw lane slices of the
+    # qkv projection (no 5D head view -> no 80->128 lane-pad copy in HBM);
+    # rel arrives packed (block_q, head_group*hw) with hw lane-aligned.
+    sel = sel_ref[:]  # (hw, N)
+    for h in range(head_group):
+        q = q_ref[0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0][:, h * d : (h + 1) * d]   # (N, d)
+        v = v_ref[0][:, h * d : (h + 1) * d]
+        rel = rel_ref[0][:, h * hw : (h + 1) * hw]  # (block_q, hw)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, N)
+        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def flash_qkv_packed_global(
+    qkv: jnp.ndarray,   # (B, N, 3*heads*d) — bitcast view of the qkv projection
+    rel: jnp.ndarray,   # (B, N, heads*hw) — [rel_h | rel_w] per head, hw % 128 == 0
+    sel: jnp.ndarray,   # (hw, N) from make_rel_scatter
+    scale: float,
+    heads: int,
+    d: int,
+    block_q: int = 512,
+    head_group: int = 8,
+) -> jnp.ndarray:
+    """Global-attention sibling of `flash_qkv_packed_windows` (q tiled).
+
+    Replaces the `flash_attention_relpos` production path, which needed an
+    XLA-side (B,N,3,heads,d) transpose + 80->128 pad of q/k/v (measured
+    ~15 ms/pass at batch 8 for the 4 global blocks). Requires
+    (head_group * d) % 128 == 0 and hw % 128 == 0 (ViT-H global: d=80,
+    head_group=8, hw=128). Output is head-leading (B, heads, N, d).
+    """
+    B, N, _ = qkv.shape
+    hw = sel.shape[0]
+    if N % block_q != 0:
+        block_q = N
+    if heads % head_group != 0:
+        head_group = heads
+    n_hg = heads // head_group
+    gd = head_group * d
+
+    def ref(qkv, rel, sel):
+        r = qkv.reshape(B, N, 3, heads, d)
+        q = jnp.moveaxis(r[:, :, 0], 2, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(r[:, :, 1], 2, 1)
+        v = jnp.moveaxis(r[:, :, 2], 2, 1)
+        relh = jnp.moveaxis(rel.reshape(B, N, heads, hw), 2, 1)
+        return xla_attention_relpos(q, k, v, relh, sel)
+
+    if gd % _LANE_ALIGN != 0 or hw % _LANE_ALIGN != 0:
+        return ref(qkv, rel, sel)
+
+    kernel = functools.partial(_qkv_packed_global_kernel, scale, head_group, d, hw)
+    blk = lambda role: (lambda b, g, i: (b, i, role * n_hg + g))
+
+    run = lambda qkv, rel, sel: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, N, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, n_hg, N // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, gd), lambda b, g, i: (b, 0, n_hg + g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, gd), lambda b, g, i: (b, 0, 2 * n_hg + g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, head_group * hw),
+                             lambda b, g, i: (b, i, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hw, N), lambda b, g, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, block_q, d), lambda b, g, i: (b, g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * N * N * (2 * d + hw),
+            bytes_accessed=qkv.size * 2 + rel.size * 2,
+            transcendentals=B * heads * N * N,
+        ),
+    )(qkv, qkv, qkv, rel, sel)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel)
 
 
 def _qkv_relpos_global_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):

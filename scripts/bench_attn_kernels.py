@@ -1,0 +1,174 @@
+"""Micro-bench attention-kernel variants at production shapes (batch 8).
+
+Variants:
+  * windowed packed, win_group in {1, 5, 25}
+  * windowed packed with HEAD-PADDED lanes (d 80->128 per head, aligned slices)
+  * global packed (d=80 slices) vs global head-padded (d=128 aligned slices)
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from camouflaged_vlm_tpu.ops import flash_attention as fa
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    float(jnp.sum(outs[-1].astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def head_padded_kernel(scale, head_group, dp, hw, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+    sel = sel_ref[:]
+    for h in range(head_group):
+        q = q_ref[0][:, h * dp : (h + 1) * dp] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0][:, h * dp : (h + 1) * dp]
+        v = v_ref[0][:, h * dp : (h + 1) * dp]
+        rel = rel_ref[0][:, h * hw : (h + 1) * hw]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def global_head_padded(qkv_p, rel, sel, scale, heads, dp, block_q=512, head_group=8):
+    B, N, _ = qkv_p.shape
+    hw = sel.shape[0]
+    n_hg = heads // head_group
+    gd = head_group * dp
+    kernel = functools.partial(head_padded_kernel, scale, head_group, dp, hw)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, N, dp), qkv_p.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, n_hg, N // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, gd), lambda b, g, i: (b, i, g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, gd), lambda b, g, i: (b, 0, n_hg + g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, gd), lambda b, g, i: (b, 0, 2 * n_hg + g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, head_group * hw), lambda b, g, i: (b, i, g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hw, N), lambda b, g, i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, head_group, block_q, dp), lambda b, g, i: (b, g, i, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv_p, qkv_p, qkv_p, rel, sel)
+
+
+def win_head_padded(qkv_p, rel, sel32, scale, heads, dp, head_group=8, win_group=5):
+    B, nwin, Nw, _ = qkv_p.shape
+    n_hg = heads // head_group
+    gd = head_group * dp
+
+    def kern(scale, head_group, dp, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+        sel = sel_ref[:]
+        for h in range(head_group):
+            q = q_ref[0][:, :, h * dp : (h + 1) * dp] * jnp.asarray(scale, q_ref.dtype)
+            k = k_ref[0][:, :, h * dp : (h + 1) * dp]
+            v = v_ref[0][:, :, h * dp : (h + 1) * dp]
+            rel = rel_ref[0][:, :, h * 32 : (h + 1) * 32]
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+            s += jax.lax.dot_general(rel, sel, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(v.dtype)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+            o_ref[0, h] = o.astype(o_ref.dtype)
+
+    kernel = functools.partial(kern, scale, head_group, dp)
+    blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, dp), qkv_p.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, nwin // win_group, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, win_group, Nw, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(2), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, head_group * 32), lambda b, w, g: (b, w, 0, g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, Nw), lambda b, w, g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, win_group, Nw, dp), lambda b, w, g: (b, g, w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv_p, qkv_p, qkv_p, rel, sel32)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, heads, d = 8, 16, 80
+    scale = d ** -0.5
+
+    # ---- windowed shapes
+    nwin, Nw = 25, 196
+    qkv = jnp.asarray(rng.standard_normal((B, nwin, Nw, 3 * heads * d)) * 0.1, jnp.bfloat16)
+    rel = jnp.asarray(rng.standard_normal((B, nwin, Nw, heads * 32)) * 0.1, jnp.bfloat16)
+    sel32 = jnp.pad(fa.make_rel_scatter(14, 14), ((0, 4), (0, 0)))
+    for wg in (1, 5, 25):
+        f = jax.jit(lambda q, r: fa.flash_qkv_packed_windows(q, r, sel32, scale, heads, d, win_group=wg))
+        try:
+            ms = timeit(f, qkv, rel)
+            print(f"windowed packed wg={wg:2d}: {ms:7.3f} ms  ({5.9*8/ms:.0f} TF/s true)")
+        except Exception as e:
+            print(f"windowed packed wg={wg}: FAILED {str(e)[:120]}")
+
+    dp = 128
+    qkv_p = jnp.asarray(rng.standard_normal((B, nwin, Nw, 3 * heads * dp)) * 0.1, jnp.bfloat16)
+    for wg in (5, 25):
+        f = jax.jit(lambda q, r: win_head_padded(q, r, sel32, scale, heads, dp, win_group=wg))
+        try:
+            ms = timeit(f, qkv_p, rel)
+            print(f"windowed HEAD-PAD wg={wg:2d}: {ms:7.3f} ms")
+        except Exception as e:
+            print(f"windowed HEAD-PAD wg={wg}: FAILED {str(e)[:120]}")
+
+    # ---- global shapes
+    N = 4096
+    hw = 128
+    qkv_g = jnp.asarray(rng.standard_normal((B, N, 3 * heads * d)) * 0.1, jnp.bfloat16)
+    rel_g = jnp.asarray(rng.standard_normal((B, N, heads * hw)) * 0.1, jnp.bfloat16)
+    sel_g = fa.make_rel_scatter(64, 64)
+    f = jax.jit(lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, heads, d))
+    ms = timeit(f, qkv_g, rel_g)
+    print(f"global packed d=80    : {ms:7.3f} ms")
+
+    qkv_gp = jnp.asarray(rng.standard_normal((B, N, 3 * heads * dp)) * 0.1, jnp.bfloat16)
+    for hg in (4, 8):
+        f = jax.jit(lambda q, r: global_head_padded(q, r, sel_g, scale, heads, dp, head_group=hg))
+        try:
+            ms = timeit(f, qkv_gp, rel_g)
+            print(f"global HEAD-PAD hg={hg}  : {ms:7.3f} ms")
+        except Exception as e:
+            print(f"global HEAD-PAD hg={hg}: FAILED {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,9 @@
 """Measure achievable bf16 matmul TFLOP/s and HBM GB/s on this chip."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

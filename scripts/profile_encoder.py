@@ -1,7 +1,12 @@
 """Encoder-internal timing: one windowed block, one global block, patch
 embed + EVP prompt stream + neck, at batch 8 bf16 on the real TPU."""
 
+
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import time

@@ -4,7 +4,12 @@ Times each sub-program separately (encoder / clip classify / decoder+resize /
 fused cascade) with the host-fetch checksum barrier from bench.py.
 """
 
+
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import time

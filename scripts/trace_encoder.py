@@ -1,7 +1,12 @@
 """Capture a jax.profiler trace of the SAM encoder on TPU and print the
 op-level time breakdown via xprof (no TensorBoard UI needed)."""
 
+
+
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import glob
 import json

