@@ -48,18 +48,46 @@ def evaluate(
         )
     )(params, bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"])
 
+    from ..data.transforms import (
+        IMAGENET_MEAN, IMAGENET_STD, ONES_ALPHA_VALUE,
+        OPENAI_CLIP_MEAN, OPENAI_CLIP_STD,
+    )
+
     @jax.jit
-    def run(params, inp, cimg, cmask):
-        return model.apply(
+    def run(params, inp_u8, cimg_u8):
+        # /255 + normalisation in-graph (uint8 transfer is 4x lighter; same
+        # fp32 op order as the host transforms -> identical values)
+        inp = (inp_u8.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        cimg = (
+            cimg_u8.astype(jnp.float32) / 255.0 - OPENAI_CLIP_MEAN
+        ) / OPENAI_CLIP_STD
+        cmask = jnp.full(
+            (inp_u8.shape[0], cfg.clip_size, cfg.clip_size, 1), ONES_ALPHA_VALUE
+        )
+        probs, pred, score = model.apply(
             params, inp, cimg, cmask, text_features,
             method=model.infer_cascade_with_text,
         )
+        # fp16 halves the device->host mask traffic (tunneled links move
+        # ~50 MB/s); resolution ~3e-4 is finer than the 256-bin threshold
+        # metrics' own quantisation
+        return probs.astype(jnp.float16), pred, score
 
     cod = CODMetrics()
     metricer = OVCOSMetricer(class_names=classnames, num_workers=num_workers)
     clf = ClassificationEvaluator(class_names=classnames)
     if save_img_path:
         os.makedirs(save_img_path, exist_ok=True)
+
+    # Compile before the clock starts: through the remote-compile tunnel the
+    # first call takes minutes and would dominate images_per_sec on small
+    # runs (a real deployment compiles once per process).
+    warm = run(
+        params,
+        jnp.zeros((batch_size, cfg.inp_size, cfg.inp_size, 3), jnp.uint8),
+        jnp.zeros((batch_size, cfg.clip_size, cfg.clip_size, 3), jnp.uint8),
+    )
+    jax.tree.map(lambda a: np.asarray(a), warm)
 
     n_done = 0
     t0 = time.time()
@@ -99,7 +127,7 @@ def evaluate(
         """Drain one finished batch; fan per-image work out to the pool."""
         nonlocal n_done
         B = len(batch)
-        probs = np.asarray(outs[0])[:B, :, :, 0]
+        probs = np.asarray(outs[0], np.float32)[:B, :, :, 0]
         pred = np.asarray(outs[1])[:B]
         score = np.asarray(outs[2])[:B]
         clf.process(score, np.asarray([s.label_id for s in batch]))
@@ -113,23 +141,39 @@ def evaluate(
     # the host fetch + metric fan-out of batch k overlaps device compute of
     # batches k+1/k+2 (the reference's eval loop is fully serialised,
     # SURVEY §3.2).
-    pending = deque()
-    for batch in iter_eval_batches(
-        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers
-    ):
+    def to_device(batch):
         B = len(batch)
         pad = batch_size - B  # keep shapes static for the compiled program
         inp = np.stack([s.inp for s in batch] + [batch[-1].inp] * pad)
         cimg = np.stack([s.clip_image for s in batch] + [batch[-1].clip_image] * pad)
-        cmask = np.stack([s.clip_mask for s in batch] + [batch[-1].clip_mask] * pad)
-        outs = run(
-            params, jnp.asarray(inp), jnp.asarray(cimg), jnp.asarray(cmask)
-        )
-        pending.append((outs, batch))
-        if len(pending) > 2:
-            consume(*pending.popleft())
+        return jax.device_put(inp), jax.device_put(cimg), batch
+
+    # Host->device transfers run one batch ahead in their own thread so they
+    # overlap the previous batch's compute + device->host fetch (on the
+    # tunneled dev TPU each direction moves ~50 MB/s and would otherwise
+    # serialise with the fetch).
+    xfer_pool = ThreadPoolExecutor(max_workers=1)
+    batches = iter_eval_batches(
+        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers,
+        raw_uint8=True,
+    )
+    pending = deque()
+    in_flight = None
+    while True:
+        nxt = next(batches, None)
+        prev = in_flight
+        in_flight = xfer_pool.submit(to_device, nxt) if nxt is not None else None
+        if prev is not None:
+            inp_d, cimg_d, batch = prev.result()
+            outs = run(params, inp_d, cimg_d)  # async dispatch
+            pending.append((outs, batch))
+            if len(pending) > 2:
+                consume(*pending.popleft())
+        if nxt is None:
+            break
     while pending:
         consume(*pending.popleft())
+    xfer_pool.shutdown(wait=False)
     for f in metric_futures:
         f.result()  # surface worker exceptions; all image work done
     metric_pool.shutdown(wait=False)

@@ -18,20 +18,22 @@ from PIL import Image
 from .ovcamo import OVCamoIndex, OVCamoSample
 from .transforms import (
     clip_alpha_transform,
+    clip_image_resized_u8,
     clip_image_transform,
     clip_ones_alpha,
     mask_to_target,
     maybe_rot90_to_match,
+    sam_image_resized_u8,
     sam_image_transform,
 )
 
 
 @dataclasses.dataclass
 class EvalSample:
-    inp: np.ndarray          # (1024, 1024, 3)
+    inp: np.ndarray          # (1024, 1024, 3) fp32 normalised, or uint8 raw
     gt: np.ndarray           # (1024, 1024, 1)
-    clip_image: np.ndarray   # (336, 336, 3)
-    clip_mask: np.ndarray    # (336, 336, 1)
+    clip_image: np.ndarray   # (336, 336, 3) fp32 normalised, or uint8 raw
+    clip_mask: Optional[np.ndarray]  # (336, 336, 1); None in raw_uint8 mode
     label_id: int
     label_name: str
     image_path: str
@@ -40,16 +42,26 @@ class EvalSample:
 
 
 def _load_eval_sample(
-    sample: OVCamoSample, inp_size: int, clip_size: int
+    sample: OVCamoSample, inp_size: int, clip_size: int, raw_uint8: bool = False
 ) -> EvalSample:
     img = Image.open(sample.image_path).convert("RGB")
     mask = Image.open(sample.mask_path).convert("L")
     img = maybe_rot90_to_match(img, mask)
+    if raw_uint8:
+        # resize-only host work; /255 + normalisation happen in-graph
+        # (quarters host->device traffic — see transforms.sam_image_resized_u8)
+        inp = sam_image_resized_u8(img, inp_size)
+        cimg = clip_image_resized_u8(img, clip_size)
+        cmask = None  # constant alpha is built device-side
+    else:
+        inp = sam_image_transform(img, inp_size)
+        cimg = clip_image_transform(img, clip_size)
+        cmask = clip_ones_alpha(clip_size)
     return EvalSample(
-        inp=sam_image_transform(img, inp_size),
+        inp=inp,
         gt=mask_to_target(mask, inp_size),
-        clip_image=clip_image_transform(img, clip_size),
-        clip_mask=clip_ones_alpha(clip_size),
+        clip_image=cimg,
+        clip_mask=cmask,
         label_id=sample.class_id,
         label_name=sample.class_label,
         image_path=sample.image_path,
@@ -65,12 +77,15 @@ def iter_eval_batches(
     clip_size: int = 336,
     num_workers: int = 8,
     prefetch: int = 2,
+    raw_uint8: bool = False,
 ) -> Iterator[List[EvalSample]]:
     """Yield lists of EvalSamples (last batch may be short)."""
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         futures = []
         for s in index.samples:
-            futures.append(pool.submit(_load_eval_sample, s, inp_size, clip_size))
+            futures.append(
+                pool.submit(_load_eval_sample, s, inp_size, clip_size, raw_uint8)
+            )
         batch: List[EvalSample] = []
         for fut in futures:
             batch.append(fut.result())

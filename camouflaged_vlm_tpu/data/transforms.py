@@ -90,6 +90,23 @@ def clip_alpha_transform(mask: Image.Image, n_px: int = 336) -> np.ndarray:
     return (arr - CLIP_ALPHA_MEAN) / CLIP_ALPHA_STD
 
 
+def sam_image_resized_u8(img: Image.Image, size: int = 1024) -> np.ndarray:
+    """(size, size, 3) uint8 — the resize half of `sam_image_transform`.
+
+    The /255 + ImageNet normalisation runs IN-GRAPH on device (fp32, same op
+    order -> same values): shipping uint8 quarters host->device traffic,
+    which dominates the eval loop on bandwidth-limited links (the tunneled
+    dev TPU moves ~110 MB/batch of fp32 at ~15 MB/s)."""
+    return np.asarray(img.convert("RGB").resize((size, size), Image.BILINEAR))
+
+
+def clip_image_resized_u8(img: Image.Image, n_px: int = 336) -> np.ndarray:
+    """(n_px, n_px, 3) uint8 — resize+crop half of `clip_image_transform`
+    (bicubic shorter side + center crop; normalisation runs in-graph)."""
+    img = _resize_shorter_side(img, n_px, Image.BICUBIC).convert("RGB")
+    return _center_crop(np.asarray(img), n_px)
+
+
 def maybe_rot90_to_match(img: Image.Image, mask: Image.Image) -> Image.Image:
     """The reference rotates size-mismatched images 90° CCW
     (`/root/reference/datasets/wrappers.py:56-59`)."""

@@ -28,8 +28,8 @@ import flax.linen as nn
 from ...ops.norms import LayerNormFP32
 from ...ops.flash_attention import flash_qkv_packed_plain
 from ...ops.linear import (
-    linear_residual_bt,
     ln_linear_act_bt,
+    ln_mlp_residual_bt,
     proj_from_heads,
     proj_from_heads_res,
 )
@@ -55,6 +55,9 @@ class AlphaClipConfig:
     prompt_depth: int = 9   # layers 0..8 carry prompts (8 deep replacements)
     # numerics
     dtype: jnp.dtype = jnp.float32
+    # Pallas fused path (qkv/attention/proj/MLP kernels). False = pure XLA
+    # formulation — the on-TPU reference for kernel equivalence checks.
+    fused: bool = True
 
     @property
     def grid(self) -> int:
@@ -231,13 +234,15 @@ class ResidualBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, attn_mask: Optional[jnp.ndarray] = None):
         head_dim = self.dim // self.num_heads
         attn = ClipAttention(self.dim, self.num_heads, self.dtype, name="attn")
         if (
-            attn_mask is None
+            self.fused
+            and attn_mask is None
             and jax.default_backend() != "cpu"
             and self.num_heads % 8 == 0
             and (8 * head_dim) % 128 == 0
@@ -248,19 +253,16 @@ class ResidualBlock(nn.Module):
             x = attn(x, None, ln=(g1, be1), residual=x)
         else:
             x = x + attn(LayerNormFP32(eps=1e-5, name="ln_1")(x), attn_mask)
-        if jax.default_backend() != "cpu":
-            # Fused LN2 + QuickGELU MLP + residual via Pallas (same shape
-            # trick as sam_encoder.Block: LN into the first matmul's
-            # prologue, residual into the second's epilogue).
+        if self.fused and jax.default_backend() != "cpu":
+            # Whole MLP as ONE kernel (LN2 prologue, QuickGELU between the
+            # matmuls, residual epilogue) — the 4*dim hidden stays in VMEM.
             g2, be2 = _ParamsLN(self.dim, name="ln_2")()
             w1, b1, w2, b2 = _ParamsClipMLP(self.dim, name="mlp")()
-            h = ln_linear_act_bt(
+            return ln_mlp_residual_bt(
                 x, g2[None], be2[None],
                 w1.astype(self.dtype), b1.astype(self.dtype)[None],
+                w2.astype(self.dtype), b2.astype(self.dtype)[None],
                 eps=1e-5, activation="quick_gelu",
-            )
-            return linear_residual_bt(
-                h, w2.astype(self.dtype), b2.astype(self.dtype)[None], x
             )
         x = x + ClipMLP(self.dim, self.dtype, name="mlp")(
             LayerNormFP32(eps=1e-5, name="ln_2")(x)
@@ -336,7 +338,8 @@ class AlphaClipVisionTower(nn.Module):
             if i > 0 and (i - 1) < len(deep_prompts):
                 x = _splice_visual_prompt(x, deep_prompts[i - 1], cfg.n_ctx)
             x = ResidualBlock(
-                width, cfg.vision_heads, cfg.dtype, name=f"resblock_{i}"
+                width, cfg.vision_heads, cfg.dtype, cfg.fused,
+                name=f"resblock_{i}",
             )(x)
 
         x = LayerNormFP32(eps=1e-5, name="ln_post")(x[:, 0, :])
@@ -381,7 +384,8 @@ class ClipTextTower(nn.Module):
             if i > 0 and (i - 1) < len(deep_prompts):
                 x = _splice_text_prompt(x, deep_prompts[i - 1], cfg.n_ctx)
             x = ResidualBlock(
-                width, cfg.transformer_heads, cfg.dtype, name=f"resblock_{i}"
+                width, cfg.transformer_heads, cfg.dtype, cfg.fused,
+                name=f"resblock_{i}",
             )(x, mask)
         x = LayerNormFP32(eps=1e-5, name="ln_final")(x)
         x = jnp.take_along_axis(x, eot_indices[:, None, None], axis=1)[:, 0, :]

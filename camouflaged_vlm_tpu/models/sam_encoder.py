@@ -52,9 +52,8 @@ from ..ops.flash_attention import (
 from ..ops.fft_prompt import fft_highpass
 from ..ops.linear import (
     linear_pallas,
-    linear_residual_bt,
-    ln_linear_act_bt,
     ln_mask_linear_bt,
+    ln_mlp_residual_bt,
     proj_from_heads,
     proj_from_heads_res,
 )
@@ -531,22 +530,18 @@ class Block(nn.Module):
             x = shortcut + attn(x)
         hidden = int(cfg.embed_dim * cfg.mlp_ratio)
         if cfg.attn_impl == "flash" and jax.default_backend() != "cpu":
-            # Fused LN2 + MLP via Pallas: LN folds into the first matmul's
-            # prologue and the residual into the second's epilogue — no
-            # standalone LN fusion, no separate residual pass. (LN1 cannot
-            # fold the same way: the reference zero-pads windows AFTER LN1,
-            # so LN must see the unpadded tensor.)
+            # Whole MLP as ONE kernel: LN2 in the prologue, GELU between the
+            # two matmuls, residual in the epilogue — the 4*dim hidden never
+            # leaves VMEM (the two-kernel split round-tripped ~400 MB of
+            # hidden per ViT-H block at batch 8).
             g2, be2 = _ParamsLN(cfg.embed_dim, name="norm2")()
             w1, b1, w2, b2 = _ParamsMLP(cfg.embed_dim, hidden, name="mlp")()
-            h = ln_linear_act_bt(
+            return ln_mlp_residual_bt(
                 x, g2[None], be2[None],
                 w1.astype(cfg.dtype), b1.astype(cfg.dtype)[None],
+                w2.astype(cfg.dtype), b2.astype(cfg.dtype)[None],
                 eps=1e-6,
                 activation="gelu_tanh" if cfg.gelu_approximate else "gelu",
-                block_n=2560,
-            )
-            return linear_residual_bt(
-                h, w2.astype(cfg.dtype), b2.astype(cfg.dtype)[None], x
             )
         y = LayerNormFP32(eps=1e-6, name="norm2")(x)
         x = x + MLPBlock(

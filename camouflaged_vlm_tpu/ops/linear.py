@@ -344,7 +344,7 @@ def ln_mask_linear_bt(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * S * K * N,
@@ -356,63 +356,98 @@ def ln_mask_linear_bt(
     return pallas_with_xla_vjp(run, ref)(x, gamma, beta, mask, w, b)
 
 
-def _linear_residual_bt_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
-    acc = jax.lax.dot(
-        x_ref[0], w_ref[:], preferred_element_type=jnp.float32
+def _ln_mlp_residual_bt_kernel(
+    eps, activation, x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref
+):
+    x32 = x_ref[0].astype(jnp.float32)  # (bs, K)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+    h = jax.lax.dot(
+        xn.astype(o_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
     )
-    acc += b_ref[:].astype(jnp.float32) + r_ref[0].astype(jnp.float32)
+    h = _apply_act(h + b1_ref[:].astype(jnp.float32), activation)
+    acc = jax.lax.dot(
+        h.astype(o_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32
+    )
+    acc += b2_ref[:].astype(jnp.float32) + x32  # pre-norm residual
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def linear_residual_bt(
-    x: jnp.ndarray,    # (B, S, K)
-    w: jnp.ndarray,    # (K, N)
-    b: jnp.ndarray,    # (1, N)
-    res: jnp.ndarray,  # (B, S, N)
+def ln_mlp_residual_bt(
+    x: jnp.ndarray,       # (B', S, K) — also the residual
+    gamma: jnp.ndarray,   # (1, K)
+    beta: jnp.ndarray,    # (1, K)
+    w1: jnp.ndarray,      # (K, H)
+    b1: jnp.ndarray,      # (1, H)
+    w2: jnp.ndarray,      # (H, K)
+    b2: jnp.ndarray,      # (1, K)
+    eps: float = 1e-6,
+    activation: str = "gelu_tanh",
     block_s: int = 512,
 ) -> jnp.ndarray:
-    """x @ w + b + res for batched odd-length sequences (CLIP/ViT MLP half 2).
-    Long divisible S is tiled by block_s to bound VMEM (K = 4*dim rows of w
-    stay resident)."""
-    B, S, K = x.shape
-    N = w.shape[1]
+    """x + MLP(LN(x)) as ONE kernel: the (S, 4*dim) hidden never leaves VMEM
+    (the two-kernel split wrote+read ~400 MB of hidden per ViT-H block at
+    batch 8, ~16 ms/pass). Both weight matrices stay VMEM-resident across
+    the whole grid."""
+    Bp, S, K = x.shape
+    H = w1.shape[1]
     bs = block_s if (S % block_s == 0 and S > block_s) else S
+    kernel = functools.partial(_ln_mlp_residual_bt_kernel, eps, activation)
 
-    def ref(x, w, b, res):
-        acc = jnp.einsum("bsk,kn->bsn", x, w, preferred_element_type=jnp.float32)
-        return (acc + b.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
+    def ref(x, gamma, beta, w1, b1, w2, b2):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        h = jnp.einsum(
+            "bsk,kh->bsh", xn.astype(x.dtype), w1, preferred_element_type=jnp.float32
+        )
+        h = _apply_act(h + b1.astype(jnp.float32), activation)
+        acc = jnp.einsum(
+            "bsh,hk->bsk", h.astype(x.dtype), w2, preferred_element_type=jnp.float32
+        )
+        return (acc + b2.astype(jnp.float32) + x32).astype(x.dtype)
 
-    run = lambda x, w, b, res: pl.pallas_call(
-        _linear_residual_bt_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, S, N), x.dtype),
+    run = lambda x, gamma, beta, w1, b1, w2, b2: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, S, K), x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(B, S // bs),
+            grid=(Bp, S // bs),
             in_specs=[
                 pl.BlockSpec((1, bs, K), lambda b_, s: (b_, s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, N), lambda b_, s: (0, 0),
+                pl.BlockSpec((1, K), lambda b_, s: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N), lambda b_, s: (0, 0),
+                pl.BlockSpec((1, K), lambda b_, s: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bs, N), lambda b_, s: (b_, s, 0),
+                pl.BlockSpec((K, H), lambda b_, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda b_, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, K), lambda b_, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b_, s: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, bs, N), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM
+                (1, bs, K), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM
             ),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * S * K * N,
-            bytes_accessed=(x.size + 2 * B * S * N) * x.dtype.itemsize
-            + w.size * w.dtype.itemsize,
-            transcendentals=0,
+            flops=4 * Bp * S * K * H,
+            bytes_accessed=(2 * x.size) * x.dtype.itemsize
+            + (w1.size + w2.size) * w1.dtype.itemsize,
+            transcendentals=Bp * S * H,
         ),
-    )(x, w, b, res)
-    return pallas_with_xla_vjp(run, ref)(x, w, b, res)
+    )(x, gamma, beta, w1, b1, w2, b2)
+    return pallas_with_xla_vjp(run, ref)(x, gamma, beta, w1, b1, w2, b2)
 
 
 def _proj_kernel(heads, x_ref, w_ref, b_ref, o_ref):

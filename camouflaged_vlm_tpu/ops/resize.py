@@ -44,9 +44,17 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Resize (B, H, W, C) spatially; computed in fp32, returned in x.dtype."""
-    _, H, W, _ = x.shape
+    _, H, W, C = x.shape
     mh = jnp.asarray(_interp_matrix(H, out_h))
     mw = jnp.asarray(_interp_matrix(W, out_w))
+    if C == 1:
+        # Mask/alpha maps: keep W on the lane dim. With the channel axis
+        # last, a 1-wide lane dim pads to 128 physically — the 1024^2 mask
+        # upsample materialised a ~1 GB intermediate at batch 8.
+        y = x[..., 0].astype(jnp.float32)  # (B, H, W)
+        y = jnp.einsum("oh,bhw->bow", mh, y, preferred_element_type=jnp.float32)
+        y = jnp.einsum("ow,bhw->bho", mw, y, preferred_element_type=jnp.float32)
+        return y[..., None].astype(x.dtype)
     y = x.astype(jnp.float32)
     y = jnp.einsum("oh,bhwc->bowc", mh, y, preferred_element_type=jnp.float32)
     y = jnp.einsum("ow,bhwc->bhoc", mw, y, preferred_element_type=jnp.float32)

@@ -48,21 +48,29 @@ def main():
         dtype=jnp.bfloat16, attn_impl=args.attn,
         gelu_approximate=args.gelu_approx,
     )
+    from camouflaged_vlm_tpu.ops.window import window_valid_mask
+
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        rng.standard_normal((B, cfg.grid, cfg.grid, cfg.embed_dim)), jnp.bfloat16
+    win = cfg.window_size
+    nwin = ((cfg.grid + win - 1) // win) ** 2
+    xw = jnp.asarray(
+        rng.standard_normal((B * nwin, win * win, cfg.embed_dim)), jnp.bfloat16
     )
+    valid = window_valid_mask(cfg.grid, cfg.grid, win)
     key = jax.random.PRNGKey(0)
 
-    wblock = Block(cfg, window_size=cfg.window_size)
-    wparams = jax.jit(wblock.init)(key, x)
+    wblock = Block(cfg, window_size=win, num_windows=nwin)
+    wparams = jax.jit(wblock.init)(key, xw, valid)
     wp = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, wparams)
-    t_w = timed(jax.jit(wblock.apply), (wp, x), name=f"windowed block ({args.attn})")
+    t_w = timed(jax.jit(wblock.apply), (wp, xw, valid), name=f"windowed block ({args.attn})")
 
-    gblock = Block(cfg, window_size=0)
-    gparams = jax.jit(gblock.init)(key, x)
+    xg = jnp.asarray(
+        rng.standard_normal((B, cfg.grid * cfg.grid, cfg.embed_dim)), jnp.bfloat16
+    )
+    gblock = Block(cfg, window_size=0, attn_size=(cfg.grid, cfg.grid))
+    gparams = jax.jit(gblock.init)(key, xg)
     gp = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, gparams)
-    t_g = timed(jax.jit(gblock.apply), (gp, x), name=f"global block ({args.attn})")
+    t_g = timed(jax.jit(gblock.apply), (gp, xg), name=f"global block ({args.attn})")
 
     img = jnp.asarray(
         rng.standard_normal((B, cfg.img_size, cfg.img_size, 3)), jnp.float32

@@ -346,6 +346,19 @@ def test_ln_mask_linear_and_proj_res_kernels(rng, monkeypatch):
     want = (xn * m_full) @ w + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    # ln_mlp_residual_bt: whole MLP in one kernel
+    H = 4 * K
+    w1 = jnp.asarray(rng.standard_normal((K, H)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((1, H)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((H, K)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
+    got = lin.ln_mlp_residual_bt(
+        x, g, be, w1, b1, w2, b2, eps=1e-6, activation="gelu_tanh"
+    )
+    h = jax.nn.gelu(xn @ w1 + b1, approximate=True)
+    want = h @ w2 + b2 + x
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-4)
+
     # proj_from_heads_res
     B, heads, T, Sq, d, out = 2, 2, 3, 16, 8, 32
     x5 = jnp.asarray(rng.standard_normal((B, heads, T, Sq, d)), jnp.float32)

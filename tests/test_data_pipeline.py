@@ -96,6 +96,27 @@ def test_train_batches_shapes(synthetic_dataset):
     assert b["label_id"].dtype == np.int32
 
 
+def test_uint8_path_matches_fp32_transforms(rng):
+    """raw_uint8 resize + in-graph normalisation == host fp32 transforms."""
+    from camouflaged_vlm_tpu.data.transforms import (
+        IMAGENET_MEAN, IMAGENET_STD, OPENAI_CLIP_MEAN, OPENAI_CLIP_STD,
+        clip_image_resized_u8, sam_image_resized_u8,
+    )
+
+    arr = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+
+    u8 = sam_image_resized_u8(img, 64)
+    assert u8.dtype == np.uint8 and u8.shape == (64, 64, 3)
+    got = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(got, sam_image_transform(img, 64), atol=1e-6)
+
+    cu8 = clip_image_resized_u8(img, 28)
+    assert cu8.dtype == np.uint8 and cu8.shape == (28, 28, 3)
+    got = (cu8.astype(np.float32) / 255.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    np.testing.assert_allclose(got, clip_image_transform(img, 28), atol=1e-6)
+
+
 def test_transform_normalisation_analytic(rng):
     """Normalisation/crop geometry checks without torchvision."""
     arr = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
