@@ -137,43 +137,26 @@ def evaluate(
             )
         n_done += B
 
-    # Two-deep pipeline: keep up to 2 batches in flight (async dispatch) so
-    # the host fetch + metric fan-out of batch k overlaps device compute of
-    # batches k+1/k+2 (the reference's eval loop is fully serialised,
-    # SURVEY §3.2).
-    def to_device(batch):
+    # Pipelined loop: up to 3 dispatched batches are alive before the oldest
+    # is drained, so the host fetch + metric fan-out of batch k overlaps
+    # device compute of k+1..k+3 (the reference's eval loop is fully
+    # serialised, SURVEY §3.2). Transfers stay inline: a separate transfer
+    # thread was tried and REGRESSED on the tunneled link (1.34 vs 1.61 img/s).
+    pending = deque()
+    for batch in iter_eval_batches(
+        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers,
+        raw_uint8=True,
+    ):
         B = len(batch)
         pad = batch_size - B  # keep shapes static for the compiled program
         inp = np.stack([s.inp for s in batch] + [batch[-1].inp] * pad)
         cimg = np.stack([s.clip_image for s in batch] + [batch[-1].clip_image] * pad)
-        return jax.device_put(inp), jax.device_put(cimg), batch
-
-    # Host->device transfers run one batch ahead in their own thread so they
-    # overlap the previous batch's compute + device->host fetch (on the
-    # tunneled dev TPU each direction moves ~50 MB/s and would otherwise
-    # serialise with the fetch).
-    xfer_pool = ThreadPoolExecutor(max_workers=1)
-    batches = iter_eval_batches(
-        index, batch_size, cfg.inp_size, cfg.clip_size, num_workers,
-        raw_uint8=True,
-    )
-    pending = deque()
-    in_flight = None
-    while True:
-        nxt = next(batches, None)
-        prev = in_flight
-        in_flight = xfer_pool.submit(to_device, nxt) if nxt is not None else None
-        if prev is not None:
-            inp_d, cimg_d, batch = prev.result()
-            outs = run(params, inp_d, cimg_d)  # async dispatch
-            pending.append((outs, batch))
-            if len(pending) > 2:
-                consume(*pending.popleft())
-        if nxt is None:
-            break
+        outs = run(params, jnp.asarray(inp), jnp.asarray(cimg))
+        pending.append((outs, batch))
+        if len(pending) > 2:
+            consume(*pending.popleft())
     while pending:
         consume(*pending.popleft())
-    xfer_pool.shutdown(wait=False)
     for f in metric_futures:
         f.result()  # surface worker exceptions; all image work done
     metric_pool.shutdown(wait=False)

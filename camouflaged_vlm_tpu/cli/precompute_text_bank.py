@@ -37,10 +37,19 @@ def _make_encoder(clip_cfg: AlphaClipConfig, text_params: dict, token_embedding)
         return tower.apply({"params": text_params}, prompt_embeds, eot, [])
 
     def encode_prompts(prompts):
-        tokens = tokenize(prompts, clip_cfg.context_length)
+        # Pad the prompt count up to a power-of-two bucket so varying
+        # per-class CuPL list lengths hit a handful of compiled shapes, not
+        # one multi-minute remote compile per distinct count; the padded
+        # rows are sliced off before the caller's mean.
+        n = len(prompts)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        padded = list(prompts) + [prompts[0]] * (bucket - n)
+        tokens = tokenize(padded, clip_cfg.context_length)
         embeds = jnp.asarray(token_embedding[tokens])
         eot = jnp.asarray(tokens.argmax(axis=-1).astype(np.int32))
-        feats = np.asarray(encode(embeds, eot), np.float32)
+        feats = np.asarray(encode(embeds, eot), np.float32)[:n]
         return feats / np.linalg.norm(feats, axis=-1, keepdims=True)
 
     return encode_prompts
@@ -52,11 +61,12 @@ def encode_text_features(
     token_embedding: np.ndarray,
     classnames,
     templates,
-    batch_size: int = 64,
+    encode_prompts=None,
 ) -> np.ndarray:
     """(num_classes, embed_dim) normalised mean template embeddings
     (the reference's per-class ensembling loop, `alphaCLIP.py:148-163`)."""
-    encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
+    if encode_prompts is None:
+        encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
     out = []
     for name in classnames:
         feats = encode_prompts([t.format(name) for t in templates])
@@ -71,6 +81,7 @@ def encode_gpt_bank(
     token_embedding: np.ndarray,
     classnames,
     gpt_json_path: str,
+    encode_prompts=None,
 ) -> np.ndarray:
     """CuPL-GPT per-class prompt bank (`alphaCLIP.py:195-223`): each class
     has its own prompt list in the JSON (keys matched lowercase, underscores
@@ -83,7 +94,16 @@ def encode_gpt_bank(
     with open(gpt_json_path) as f:
         gpt = json.load(f)
     gpt = {k.lower().replace("_", " "): v for k, v in gpt.items()}
-    encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
+    # fail fast on missing/misspelled class keys BEFORE minutes of encoding
+    missing = [n for n in classnames if n.lower().replace("_", " ") not in gpt]
+    if missing:
+        raise KeyError(
+            f"CuPL JSON {gpt_json_path} lacks prompts for {len(missing)} "
+            f"classes (keys are matched lowercase with underscores as "
+            f"spaces): {missing[:5]}{'...' if len(missing) > 5 else ''}"
+        )
+    if encode_prompts is None:
+        encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
     out = []
     for name in classnames:
         feats = encode_prompts(gpt[name.lower().replace("_", " ")])
@@ -132,19 +152,24 @@ def main():
     else:
         names = TRAIN_CLASS_NAMES if args.split == "train" else TEST_CLASS_NAMES
 
+    encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
     banks = []
     for mode in args.templates.split(","):
         if mode not in TEMPLATE_SETS:
             raise SystemExit(f"unknown template set {mode!r}; have {sorted(TEMPLATE_SETS)}")
         banks.append(
             encode_text_features(
-                clip_cfg, text_params, token_embedding, names, TEMPLATE_SETS[mode]
+                clip_cfg, text_params, token_embedding, names,
+                TEMPLATE_SETS[mode], encode_prompts=encode_prompts,
             )
         )
         log(f"[bank] encoded {mode} ({len(TEMPLATE_SETS[mode])} templates)")
     if args.gpt_json:
         banks.append(
-            encode_gpt_bank(clip_cfg, text_params, token_embedding, names, args.gpt_json)
+            encode_gpt_bank(
+                clip_cfg, text_params, token_embedding, names, args.gpt_json,
+                encode_prompts=encode_prompts,
+            )
         )
         log("[bank] encoded CuPL-GPT prompts")
     bank = combine_banks(banks)

@@ -146,10 +146,14 @@ def main():
             else jax.device_put(jnp.asarray(a), repl),
             state,
         )
+        # The epoch is derived from the restored optimizer step (the
+        # checkpoint is the single source of truth — a kill between the
+        # checkpoint write and the meta write can NOT desync them); the meta
+        # json only carries best_mae, where staleness is benign.
+        start_epoch = int(np.asarray(state.step)) // steps_per_epoch + 1
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            start_epoch = int(meta.get("epoch", 0)) + 1
             best_mae = float(meta.get("best_mae", float("inf")))
         log(
             f"[resume] restored step {int(state.step)} from {ckpt_last}; "

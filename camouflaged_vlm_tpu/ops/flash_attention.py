@@ -1,19 +1,27 @@
 """Pallas flash attention for the SAM ViT blocks (windowed AND global).
 
-Two kernels:
+All rel-pos kernels share one formulation: the ViTDet decomposed bias is
+regenerated INSIDE the kernel from its rank structure
+(`bias[q,k] = rel_h[q, k//W] + rel_w[q, k%W]`,
+`/root/reference/models/mmseg/models/sam/image_encoder.py:589-625`): the
+caller passes `rel = [rel_h | rel_w]` (seq x (H+W)) and a constant 0/1
+scatter matrix `sel` ((H+W) x seq), and the kernel adds `rel @ sel` to the
+q@k^T scores — one extra MXU matmul instead of materialising a seq x seq
+bias in HBM.
 
-  * `flash_attention_relpos` — the production path. The ViTDet decomposed
-    rel-pos bias is regenerated INSIDE the kernel from its rank structure
-    (`bias[q,k] = rel_h[q, k//W] + rel_w[q, k%W]`,
-    `/root/reference/models/mmseg/models/sam/image_encoder.py:589-625`):
-    the caller passes `rel = [rel_h | rel_w]` (seq x (H+W)) and a constant
-    0/1 scatter matrix `sel` ((H+W) x seq), and the kernel adds
-    `rel @ sel` to the q@k^T scores — one extra MXU matmul with a
-    (H+W)=128 contraction for global blocks, instead of materialising
-    augmented 256-wide q'/k' (or worse, a seq x seq bias) in HBM.
+Production kernels (read q/k/v as static lane slices of the RAW packed qkv
+projection — no head transpose/pad ever materialises):
 
-  * `flash_attention_fullk` — plain softmax attention over pre-augmented
-    features (ops/aug_attention.py); kept as the fallback/ablation path.
+  * `flash_qkv_packed_windows` — 14x14 windowed blocks, `win_group` windows
+    per program riding the matmul batch dim;
+  * `flash_qkv_packed_global`  — 4096-token global blocks, q tiled;
+  * `flash_qkv_packed_plain`   — no-bias sibling for the CLIP towers.
+
+Fallback/ablation kernels: `flash_qkv_relpos_windows` (5D head view, for
+windows whose H+W exceeds the 32-lane packing), `flash_attention_relpos`
+(q/k/v split + padded, used by the non-fused 'flash' CPU/odd-head path),
+`flash_qkv_relpos_global`, and `flash_attention_fullk` over pre-augmented
+features (ops/aug_attention.py).
 
 At <=4096 tokens the whole K/V fit comfortably in VMEM (K 4096x128 bf16 =
 1 MB), so instead of online softmax over KV tiles we tile ONLY the query

@@ -119,69 +119,6 @@ def linear_pallas(
     return out[:orig_m] if orig_m != M else out
 
 
-def _linear_bt_kernel(activation, x_ref, w_ref, b_ref, o_ref):
-    acc = jax.lax.dot(
-        x_ref[0], w_ref[:], preferred_element_type=jnp.float32
-    )  # (bs, bn)
-    acc = _apply_act(acc + b_ref[:].astype(jnp.float32), activation)
-    o_ref[0] = acc.astype(o_ref.dtype)
-
-
-def linear_pallas_bt(
-    x: jnp.ndarray,   # (B, S, K) — S may be any length (== full block dim)
-    w: jnp.ndarray,   # (K, N)
-    b: jnp.ndarray,   # (1, N)
-    block_n: int = 1536,
-    block_s: int = 1024,
-    activation: str | None = None,
-) -> jnp.ndarray:
-    """Batched-rows variant of linear_pallas for odd sequence lengths (e.g.
-    CLIP's 581 tokens or 196-token windows): when S has no multiple-of-8
-    tiling it is covered whole per block; long divisible S (the 4096-token
-    global blocks) is tiled by `block_s` to bound VMEM."""
-    B, S, K = x.shape
-    N = w.shape[1]
-    if N % block_n != 0:
-        block_n = N
-    bs = block_s if (S % block_s == 0 and S > block_s) else S
-    kernel = functools.partial(_linear_bt_kernel, activation)
-
-    def ref(x, w, b):
-        acc = jnp.einsum("bsk,kn->bsn", x, w, preferred_element_type=jnp.float32)
-        acc = _apply_act(acc + b.astype(jnp.float32), activation)
-        return acc.astype(x.dtype)
-
-    run = lambda x, w, b: pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, S, N), x.dtype),
-        grid_spec=pl.GridSpec(
-            grid=(N // block_n, B, S // bs),
-            in_specs=[
-                pl.BlockSpec((1, bs, K), lambda n, b_, s: (b_, s, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, block_n), lambda n, b_, s: (0, n),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_n), lambda n, b_, s: (0, n),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, bs, block_n), lambda n, b_, s: (b_, s, n),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=32 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * S * K * N,
-            bytes_accessed=(x.size + B * S * N) * x.dtype.itemsize,
-            transcendentals=B * S * N if activation else 0,
-        ),
-    )(x, w, b)
-    return pallas_with_xla_vjp(run, ref)(x, w, b)
-
-
 def _ln_linear_act_bt_kernel(eps, activation, x_ref, g_ref, be_ref, w_ref, b_ref, o_ref):
     x = x_ref[0].astype(jnp.float32)  # (S, K)
     mu = jnp.mean(x, axis=-1, keepdims=True)

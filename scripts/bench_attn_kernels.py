@@ -122,6 +122,60 @@ def win_head_padded(qkv_p, rel, sel32, scale, heads, dp, head_group=8, win_group
     )(qkv_p, qkv_p, qkv_p, rel, sel32)
 
 
+
+def win_staged(qkv, rel, sel32, scale, heads, d, head_group=8, win_group=5):
+    """Variant: ALL head score-dots issued first, then softmax+pv per head —
+    exposes MXU(dot)/VPU(softmax) overlap to the Mosaic scheduler."""
+    B, nwin, Nw, _ = qkv.shape
+    n_hg = heads // head_group
+    gd = head_group * d
+
+    def kern(scale, head_group, d, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+        sel = sel_ref[:]
+        ss = []
+        for h in range(head_group):
+            q = q_ref[0][:, :, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+            k = k_ref[0][:, :, h * d : (h + 1) * d]
+            rel = rel_ref[0][:, :, h * 32 : (h + 1) * 32]
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+            s += jax.lax.dot_general(rel, sel, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ss.append(s)
+        for h in range(head_group):
+            v = v_ref[0][:, :, h * d : (h + 1) * d]
+            s = ss[h]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(v.dtype)
+            o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+            o_ref[0, h] = o.astype(o_ref.dtype)
+
+    kernel = functools.partial(kern, scale, head_group, d)
+    blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, nwin // win_group, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, win_group, Nw, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, gd), blk(2), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_group, Nw, head_group * 32), lambda b, w, g: (b, w, 0, g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, Nw), lambda b, w, g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, win_group, Nw, d), lambda b, w, g: (b, g, w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(qkv, qkv, qkv, rel, sel32)
+
+
 def main():
     rng = np.random.default_rng(0)
     B, heads, d = 8, 16, 80
@@ -150,24 +204,28 @@ def main():
         except Exception as e:
             print(f"windowed HEAD-PAD wg={wg}: FAILED {str(e)[:120]}")
 
+    for wg, hg in [(5, 8), (5, 4), (25, 2)]:
+        f = jax.jit(lambda q, r, wg=wg, hg=hg: win_staged(q, r, sel32, scale, heads, d, head_group=hg, win_group=wg))
+        try:
+            ms = timeit(f, qkv, rel)
+            print(f"windowed STAGED wg={wg:2d} hg={hg}: {ms:7.3f} ms")
+        except Exception as e:
+            print(f"windowed STAGED wg={wg} hg={hg}: FAILED {str(e)[:100]}")
+
     # ---- global shapes
     N = 4096
     hw = 128
     qkv_g = jnp.asarray(rng.standard_normal((B, N, 3 * heads * d)) * 0.1, jnp.bfloat16)
     rel_g = jnp.asarray(rng.standard_normal((B, N, heads * hw)) * 0.1, jnp.bfloat16)
     sel_g = fa.make_rel_scatter(64, 64)
-    f = jax.jit(lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, heads, d))
-    ms = timeit(f, qkv_g, rel_g)
-    print(f"global packed d=80    : {ms:7.3f} ms")
-
-    qkv_gp = jnp.asarray(rng.standard_normal((B, N, 3 * heads * dp)) * 0.1, jnp.bfloat16)
-    for hg in (4, 8):
-        f = jax.jit(lambda q, r: global_head_padded(q, r, sel_g, scale, heads, dp, head_group=hg))
+    for bq, hg in [(512, 8), (1024, 8), (512, 4), (512, 16)]:
+        f = jax.jit(lambda q, r, bq=bq, hg=hg: fa.flash_qkv_packed_global(
+            q, r, sel_g, scale, heads, d, block_q=bq, head_group=hg))
         try:
-            ms = timeit(f, qkv_gp, rel_g)
-            print(f"global HEAD-PAD hg={hg}  : {ms:7.3f} ms")
+            ms = timeit(f, qkv_g, rel_g)
+            print(f"global packed bq={bq} hg={hg:2d}: {ms:7.3f} ms")
         except Exception as e:
-            print(f"global HEAD-PAD hg={hg}: FAILED {str(e)[:120]}")
+            print(f"global packed bq={bq} hg={hg}: FAILED {str(e)[:100]}")
 
 
 if __name__ == "__main__":

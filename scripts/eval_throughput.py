@@ -70,7 +70,18 @@ def main():
     p.add_argument("--out", default="/tmp/eval_bench_out")
     args = p.parse_args()
 
-    if not os.path.exists(f"{args.root}/dataset_info.yaml"):
+    import json as _json
+
+    sample_json = f"{args.root}/jsonfile/sample_info.json"
+    cached = (
+        os.path.exists(f"{args.root}/dataset_info.yaml")
+        and os.path.exists(sample_json)
+        and len(_json.load(open(sample_json))) == args.images
+    )
+    if not cached:
+        import shutil
+
+        shutil.rmtree(args.root, ignore_errors=True)
         print(f"generating {args.images} synthetic images under {args.root}")
         info_path = make_dataset(args.root, args.images)
     else:
