@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import yaml
 
-from ..data.ovcamo import OVCamoIndex, TEST_CLASS_NAMES
+from ..data.ovcamo import OVCamoIndex
 from ..data.loader import iter_eval_batches
 from ..metrics import CODMetrics, OVCOSMetricer, ClassificationEvaluator
 from ..utils.logging import log, set_log_file

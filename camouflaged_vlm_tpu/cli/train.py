@@ -30,7 +30,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.ovcamo import OVCamoIndex
 from ..data.loader import iter_train_batches
-from ..data.transforms import ONES_ALPHA_VALUE
 from ..parallel import make_mesh, shard_params
 from ..train import make_optimizer, make_train_step, create_train_state
 from ..io.checkpoint import restore_checkpoint, save_checkpoint

@@ -19,7 +19,7 @@ fp32 softmax, static prompt splicing (pure slice+concat — no dynamic shapes).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

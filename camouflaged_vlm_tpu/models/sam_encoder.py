@@ -26,7 +26,7 @@ Trainable-at-finetune params (mirroring the reference freeze rule,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

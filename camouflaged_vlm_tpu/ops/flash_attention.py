@@ -266,11 +266,16 @@ def _qkv_packed_windows_kernel(scale, head_group, d, q_ref, k_ref, v_ref, rel_re
     # ride the dot's (single, leading) batch dim so the MXU pipelines several
     # small (Nw, d) matmuls per issue. rel arrives padded to 32 lanes/head so
     # its slices stay tile-aligned; sel has 32 rows (4 zero).
+    #
+    # All heads' score dots are STAGED before any softmax+pv: issuing the
+    # MXU dots back-to-back lets the scheduler overlap them with the VPU
+    # softmaxes of other heads (measured ~9% kernel win; the per-head
+    # interleaved order serialised MXU<->VPU).
     sel = sel_ref[:]  # (32, Nw)
+    scores = []
     for h in range(head_group):
         q = q_ref[0][:, :, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
         k = k_ref[0][:, :, h * d : (h + 1) * d]   # (wg, Nw, d)
-        v = v_ref[0][:, :, h * d : (h + 1) * d]
         rel = rel_ref[0][:, :, h * 32 : (h + 1) * 32]  # (wg, Nw, 32)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -278,6 +283,10 @@ def _qkv_packed_windows_kernel(scale, head_group, d, q_ref, k_ref, v_ref, rel_re
         s += jax.lax.dot_general(
             rel, sel, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        scores.append(s)
+    for h in range(head_group):
+        v = v_ref[0][:, :, h * d : (h + 1) * d]
+        s = scores[h]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -355,7 +364,7 @@ def flash_qkv_packed_windows(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * nwin * Nw * Nw * (2 * d + 32),
