@@ -230,3 +230,48 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_blockdiag_rel(rng):
+    """Feasibility probe for next round's in-kernel rel: per-qh-group
+    (14, 1280) @ (1280, 512) block-diagonal matmuls — what rate do
+    small-M dense matmuls actually reach?"""
+    import functools as ft
+
+    K, N = 1280, 512
+    x = jnp.asarray(rng.standard_normal((200, 196, K)) * 0.1, jnp.bfloat16)
+    U = jnp.asarray(rng.standard_normal((14, K, N)) * 0.02, jnp.bfloat16)
+
+    def kern(x_ref, u_ref, o_ref):
+        for qh in range(14):
+            rows = x_ref[0][qh * 14 : (qh + 1) * 14, :]   # (14, K)
+            o = jax.lax.dot(rows, u_ref[qh], preferred_element_type=jnp.float32)
+            o_ref[0, qh * 14 : (qh + 1) * 14, :] = o.astype(o_ref.dtype)
+
+    f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((200, 196, N), jnp.bfloat16),
+        grid_spec=pl.GridSpec(
+            grid=(200,),
+            in_specs=[
+                pl.BlockSpec((1, 196, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((14, K, N), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 196, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )
+    g = jax.jit(lambda x, U: f(x, U))
+    try:
+        ms = timeit(g, x, U)
+        gf = 2 * 200 * 196 * K * N / 1e9
+        print(f"blockdiag rel probe: {ms:7.3f} ms ({gf/ms:.0f} GF/ms = {gf/ms:.0f} TF/s-ish -> per-block cost estimate)")
+    except Exception as e:
+        print(f"blockdiag rel probe: FAILED {str(e)[:140]}")
+
+
+if __name__ == "__main__":
+    bench_blockdiag_rel(np.random.default_rng(1))
