@@ -305,7 +305,7 @@ def flash_qkv_packed_windows(
     heads: int,
     d: int,
     head_group: int = 8,
-    win_group: int = 5,
+    win_group: int = 1,
 ) -> jnp.ndarray:
     """Windowed rel-pos attention on the UNPADDED packed qkv layout.
 
@@ -487,7 +487,7 @@ def flash_qkv_packed_global(
     scale: float,
     heads: int,
     d: int,
-    block_q: int = 512,
+    block_q: int = 1024,
     head_group: int = 8,
 ) -> jnp.ndarray:
     """Global-attention sibling of `flash_qkv_packed_windows` (q tiled).

@@ -222,7 +222,7 @@ def ln_mask_linear_bt(
     w: jnp.ndarray,       # (K, N)
     b: jnp.ndarray,       # (1, N)
     eps: float = 1e-6,
-    block_n: int = 1920,
+    block_n: int = 3840,
     block_s: int = 1024,
 ) -> jnp.ndarray:
     """(LN(x) * mask) @ w + b — the ViT block's LN1 + pad-token re-zeroing
