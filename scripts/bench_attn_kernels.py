@@ -228,8 +228,6 @@ def main():
             print(f"global packed bq={bq} hg={hg}: FAILED {str(e)[:100]}")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_blockdiag_rel(rng):
@@ -274,4 +272,5 @@ def bench_blockdiag_rel(rng):
 
 
 if __name__ == "__main__":
+    main()
     bench_blockdiag_rel(np.random.default_rng(1))
