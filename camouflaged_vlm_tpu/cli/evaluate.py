@@ -38,8 +38,25 @@ from .common import assemble_cascade
 def evaluate(
     model, cfg, params, bank, index: OVCamoIndex,
     batch_size: int = 4, save_img_path: str | None = None, num_workers: int = 8,
+    mesh=None,
 ):
+    """Run the full OVCOS eval. With `mesh` (a jax Mesh with a 'data' axis),
+    each batch is sharded over the axis and params are replicated — the
+    compiled program runs data-parallel across chips (the reference is
+    single-GPU batch-1, `test_ovcos_maskdecoder_edge.py:175-178`).
+    batch_size must be divisible by the data-axis size."""
     classnames = index.classes
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert batch_size % mesh.shape["data"] == 0, (batch_size, dict(mesh.shape))
+        batch_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        put = lambda a: jax.device_put(a, batch_sharding)
+    else:
+        put = jnp.asarray
 
     # text features are class-split constants at eval time: encode once
     text_features = jax.jit(
@@ -84,8 +101,8 @@ def evaluate(
     # runs (a real deployment compiles once per process).
     warm = run(
         params,
-        jnp.zeros((batch_size, cfg.inp_size, cfg.inp_size, 3), jnp.uint8),
-        jnp.zeros((batch_size, cfg.clip_size, cfg.clip_size, 3), jnp.uint8),
+        put(np.zeros((batch_size, cfg.inp_size, cfg.inp_size, 3), np.uint8)),
+        put(np.zeros((batch_size, cfg.clip_size, cfg.clip_size, 3), np.uint8)),
     )
     jax.tree.map(lambda a: np.asarray(a), warm)
 
@@ -151,7 +168,7 @@ def evaluate(
         pad = batch_size - B  # keep shapes static for the compiled program
         inp = np.stack([s.inp for s in batch] + [batch[-1].inp] * pad)
         cimg = np.stack([s.clip_image for s in batch] + [batch[-1].clip_image] * pad)
-        outs = run(params, jnp.asarray(inp), jnp.asarray(cimg))
+        outs = run(params, put(inp), put(cimg))
         pending.append((outs, batch))
         if len(pending) > 2:
             consume(*pending.popleft())
@@ -193,6 +210,10 @@ def main():
     p.add_argument("--text-bank", default=None)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke runs)")
+    p.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard each batch over all devices (jax Mesh 'data' axis)",
+    )
     args = p.parse_args()
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -221,9 +242,15 @@ def main():
         tiny=args.tiny,
     )
     save_path = os.path.join(args.output_dir, "result_image") if args.save_images else None
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        log(f"[eval] data-parallel over {mesh.shape['data']} devices")
     results = evaluate(
         model, cfg, params, bank, index,
-        batch_size=args.batch_size, save_img_path=save_path,
+        batch_size=args.batch_size, save_img_path=save_path, mesh=mesh,
     )
     log(json.dumps(results, indent=2))
     with open(os.path.join(args.output_dir, "results.json"), "w") as f:

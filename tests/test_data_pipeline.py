@@ -187,3 +187,22 @@ def test_end_to_end_eval_on_synthetic(synthetic_dataset):
         assert key in results, key
     assert results["images"] == 3
     assert 0 <= results["mae"] <= 1 and 0 <= results["sm"] <= 1
+
+
+def test_data_parallel_eval_matches_single_device(synthetic_dataset):
+    """evaluate() with a data-sharded mesh == single-device results."""
+    from camouflaged_vlm_tpu.cli.common import assemble_cascade
+    from camouflaged_vlm_tpu.cli.evaluate import evaluate
+    from camouflaged_vlm_tpu.parallel import make_mesh
+
+    te = OVCamoIndex.from_dataset_info(synthetic_dataset, "test")
+    model, cfg, params, bank = assemble_cascade(
+        te.classes, tiny=True, dtype=jnp.float32
+    )
+    single = evaluate(model, cfg, params, bank, te, batch_size=8, num_workers=2)
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    sharded = evaluate(
+        model, cfg, params, bank, te, batch_size=8, num_workers=2, mesh=mesh
+    )
+    for key in ("sm", "wfm", "mae", "avgiou", "ori_mae", "accuracy"):
+        assert abs(single[key] - sharded[key]) < 1e-6, (key, single[key], sharded[key])
