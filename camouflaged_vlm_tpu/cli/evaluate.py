@@ -38,13 +38,18 @@ from .common import assemble_cascade
 def evaluate(
     model, cfg, params, bank, index: OVCamoIndex,
     batch_size: int = 4, save_img_path: str | None = None, num_workers: int = 8,
-    mesh=None,
+    mesh=None, oracle_cls: bool = False,
 ):
     """Run the full OVCOS eval. With `mesh` (a jax Mesh with a 'data' axis),
     each batch is sharded over the axis and params are replicated — the
     compiled program runs data-parallel across chips (the reference is
     single-GPU batch-1, `test_ovcos_maskdecoder_edge.py:175-178`).
-    batch_size must be divisible by the data-axis size."""
+    batch_size must be divisible by the data-axis size.
+
+    `oracle_cls=True` scores the class-aware metrics with the GROUND-TRUTH
+    class (the reference debug entry's `pre_cls = gt_cls` bypass,
+    `debug_ovcos_maskdecoder_edge.py:111`) — isolates segmentation quality
+    from classification."""
     classnames = index.classes
 
     if mesh is not None:
@@ -149,8 +154,9 @@ def evaluate(
         score = np.asarray(outs[2])[:B]
         clf.process(score, np.asarray([s.label_id for s in batch]))
         for i, s in enumerate(batch):
+            pre_cls = s.label_name if oracle_cls else classnames[int(pred[i])]
             metric_futures.append(
-                metric_pool.submit(image_work, probs[i], s, classnames[int(pred[i])])
+                metric_pool.submit(image_work, probs[i], s, pre_cls)
             )
         n_done += B
 
@@ -214,6 +220,11 @@ def main():
         "--data-parallel", action="store_true",
         help="shard each batch over all devices (jax Mesh 'data' axis)",
     )
+    p.add_argument(
+        "--oracle-cls", action="store_true",
+        help="score class-aware metrics with the GT class (the reference "
+        "debug entry's pre_cls=gt_cls bypass) — segmentation-only quality",
+    )
     args = p.parse_args()
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -251,6 +262,7 @@ def main():
     results = evaluate(
         model, cfg, params, bank, index,
         batch_size=args.batch_size, save_img_path=save_path, mesh=mesh,
+        oracle_cls=args.oracle_cls,
     )
     log(json.dumps(results, indent=2))
     with open(os.path.join(args.output_dir, "results.json"), "w") as f:

@@ -189,6 +189,30 @@ def test_end_to_end_eval_on_synthetic(synthetic_dataset):
     assert 0 <= results["mae"] <= 1 and 0 <= results["sm"] <= 1
 
 
+def test_oracle_cls_eval(synthetic_dataset):
+    """pre_cls=gt_cls bypass (reference debug entry): class-aware scores are
+    never hurt by removing classification mistakes."""
+    from camouflaged_vlm_tpu.cli.common import assemble_cascade
+    from camouflaged_vlm_tpu.cli.evaluate import evaluate
+
+    te = OVCamoIndex.from_dataset_info(synthetic_dataset, "test")
+    model, cfg, params, bank = assemble_cascade(
+        te.classes, tiny=True, dtype=jnp.float32
+    )
+    plain = evaluate(model, cfg, params, bank, te, batch_size=2, num_workers=2)
+    oracle = evaluate(
+        model, cfg, params, bank, te, batch_size=2, num_workers=2, oracle_cls=True
+    )
+    # with random weights some predictions are wrong -> zeroed scores; the
+    # oracle bypass can only raise (or equal) the class-aware aggregates
+    for key in ("avgiou", "avgfm", "sm", "wfm"):
+        assert oracle[key] >= plain[key] - 1e-9, (key, oracle[key], plain[key])
+    # MAE is maxed to 1 on mismatch, so oracle MAE can only be <= plain
+    assert oracle["mae"] <= plain["mae"] + 1e-9
+    # class-agnostic COD metrics are untouched by the bypass
+    assert oracle["ori_mae"] == plain["ori_mae"]
+
+
 def test_data_parallel_eval_matches_single_device(synthetic_dataset):
     """evaluate() with a data-sharded mesh == single-device results."""
     from camouflaged_vlm_tpu.cli.common import assemble_cascade
