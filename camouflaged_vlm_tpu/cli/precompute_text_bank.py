@@ -42,6 +42,11 @@ def _make_encoder(clip_cfg: AlphaClipConfig, text_params: dict, token_embedding)
         # one multi-minute remote compile per distinct count; the padded
         # rows are sliced off before the caller's mean.
         n = len(prompts)
+        if n == 0:
+            raise ValueError(
+                "empty prompt list (a CuPL JSON class entry with no prompts?) "
+                "— every class needs at least one prompt"
+            )
         bucket = 1
         while bucket < n:
             bucket *= 2
@@ -153,25 +158,35 @@ def main():
         names = TRAIN_CLASS_NAMES if args.split == "train" else TEST_CLASS_NAMES
 
     encode_prompts = _make_encoder(clip_cfg, text_params, token_embedding)
-    banks = []
-    for mode in args.templates.split(","):
+    modes = args.templates.split(",")
+    for mode in modes:
         if mode not in TEMPLATE_SETS:
             raise SystemExit(f"unknown template set {mode!r}; have {sorted(TEMPLATE_SETS)}")
-        banks.append(
-            encode_text_features(
-                clip_cfg, text_params, token_embedding, names,
-                TEMPLATE_SETS[mode], encode_prompts=encode_prompts,
+    # The pairwise mean+renorm chain is ORDER-SENSITIVE; the reference's
+    # fixed mode order is imagenet80 -> camoprompts -> CuPL-GPT ->
+    # attributes (`alphaCLIP.py:131-242` — each `if use_*` block folds into
+    # the accumulator in that sequence), so the chain follows that order
+    # regardless of how --templates is spelled (ADVICE round-2).
+    ref_order = ["imagenet80", "camoprompts", "__gpt__", "attributes"]
+    modes = [m for m in ref_order if m in modes or (m == "__gpt__" and args.gpt_json)]
+    banks = []
+    for mode in modes:
+        if mode == "__gpt__":
+            banks.append(
+                encode_gpt_bank(
+                    clip_cfg, text_params, token_embedding, names, args.gpt_json,
+                    encode_prompts=encode_prompts,
+                )
             )
-        )
-        log(f"[bank] encoded {mode} ({len(TEMPLATE_SETS[mode])} templates)")
-    if args.gpt_json:
-        banks.append(
-            encode_gpt_bank(
-                clip_cfg, text_params, token_embedding, names, args.gpt_json,
-                encode_prompts=encode_prompts,
+            log("[bank] encoded CuPL-GPT prompts")
+        else:
+            banks.append(
+                encode_text_features(
+                    clip_cfg, text_params, token_embedding, names,
+                    TEMPLATE_SETS[mode], encode_prompts=encode_prompts,
+                )
             )
-        )
-        log("[bank] encoded CuPL-GPT prompts")
+            log(f"[bank] encoded {mode} ({len(TEMPLATE_SETS[mode])} templates)")
     bank = combine_banks(banks)
     np.save(args.out, bank)
     log(f"wrote {bank.shape} bank to {args.out}")

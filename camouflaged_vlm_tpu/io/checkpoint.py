@@ -22,6 +22,25 @@ def save_checkpoint(path: str, state: Any, force: bool = True) -> None:
     ckptr.wait_until_finished()
 
 
+def restore_checkpoint_host(path: str) -> Any:
+    """Restore a checkpoint as host numpy arrays, regardless of the device
+    topology it was saved under (a multi-host-written checkpoint embeds the
+    saving mesh's device ids, which a target-less restore would try — and
+    fail — to reconstruct)."""
+    import jax.tree_util as jtu
+    import numpy as np
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    leaves, treedef = jtu.tree_flatten(tree)
+    restore_args = jtu.tree_unflatten(
+        treedef, [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves)
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()

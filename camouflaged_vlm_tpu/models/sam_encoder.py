@@ -33,6 +33,14 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.norms import LayerNormFP32
+from ..ops.compact_window import (
+    REL_LANES,
+    CompactGeometry,
+    compact_partition,
+    compact_unpartition,
+    edge_call_sel,
+    edge_rel_lpad,
+)
 from ..ops.window import (
     window_partition_seq,
     window_unpartition_seq,
@@ -50,8 +58,10 @@ from ..ops.flash_attention import (
     xla_attention_relpos,
 )
 from ..ops.fft_prompt import fft_highpass
+from ..ops.flash_attention import flash_qkv_packed_edge
 from ..ops.linear import (
     linear_pallas,
+    ln_linear_act_bt,
     ln_mask_linear_bt,
     ln_mlp_residual_bt,
     proj_from_heads,
@@ -189,13 +199,13 @@ class PallasHeadProj(nn.Module):
 
 
 def fused_attention_enabled(attn_impl: str, use_rel_pos: bool, num_heads: int) -> bool:
-    """The Pallas attention data path (qkv/attention/proj kernels)."""
-    return (
-        attn_impl == "flash"
-        and use_rel_pos
-        and num_heads % 8 == 0
-        and jax.default_backend() != "cpu"
-    )
+    """The fused attention data path (qkv/attention/proj kernels).
+
+    Backend-independent since round 3: on CPU every kernel wrapper degrades
+    to its XLA reference internally, so tests and the multichip dryrun
+    exercise the SAME fused structure (compact window layout included) that
+    runs compiled on TPU."""
+    return attn_impl == "flash" and use_rel_pos and num_heads % 8 == 0
 
 
 def rel_and_scatter(q_heads, rel_pos_h, rel_pos_w, H, W):
@@ -213,23 +223,15 @@ def rel_and_scatter(q_heads, rel_pos_h, rel_pos_w, H, W):
     return rel, make_rel_scatter(H, W, dtype=q_heads.dtype)
 
 
-def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
-    """`rel_and_scatter` fused into ONE einsum with the 32-lane pad built in.
-
-    The two-einsum + concat + pad formulation materialised four lane-padded
-    intermediates per block (measured ~1.9 ms/block at batch 8 — the rel
-    chain was ~52 ms/pass). Here the per-(qh, qw) tables are pre-combined
-    into `Rcomb[(qh, qw), c, j]` (j = [kh | kw | 0-pad] of width 32, a tiny
-    (H, W, hd, 32) constant-shaped tensor), so XLA emits a single batched
-    matmul whose output is already the kernel's packed layout.
-
-    Returns (rel (..., H, W, heads, 32), sel32 (32, H*W))."""
+def make_rcomb(H, W, rel_pos_h, rel_pos_w, dt):
+    """Combined per-(qh, qw) rel-pos table (H, W, hd, 32): lane j < H holds
+    Rh[qh, j], lanes H..H+W-1 hold Rw[qw, j-H], the rest zero — one einsum
+    with it emits the flash kernels' packed [rel_h | rel_w | 0] layout."""
     assert H + W <= 32, (H, W)
-    dt = q_heads.dtype
     Rh = get_rel_pos_table(H, H, rel_pos_h).astype(dt)  # (H, kh, hd)
     Rw = get_rel_pos_table(W, W, rel_pos_w).astype(dt)  # (W, kw, hd)
     hd = Rh.shape[-1]
-    Rcomb = jnp.concatenate(
+    return jnp.concatenate(
         [
             jnp.broadcast_to(
                 jnp.transpose(Rh, (0, 2, 1))[:, None], (H, W, hd, H)
@@ -241,8 +243,25 @@ def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
         ],
         axis=-1,
     )  # (H, W, hd, 32)
-    rel = jnp.einsum("...hwnc,hwcj->...hwnj", q_heads, Rcomb)
-    sel = make_rel_scatter(H, W, dtype=dt)
+
+
+def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
+    """`rel_and_scatter` fused into ONE einsum with the 32-lane pad built in.
+
+    The two-einsum + concat + pad formulation materialised four lane-padded
+    intermediates per block (measured ~1.9 ms/block at batch 8 — the rel
+    chain was ~52 ms/pass). Here the per-(qh, qw) tables are pre-combined
+    into `Rcomb[(qh, qw), c, j]` (j = [kh | kw | 0-pad] of width 32, a tiny
+    (H, W, hd, 32) constant-shaped tensor), so XLA emits a single batched
+    matmul whose output is already the kernel's packed layout.
+
+    Returns (rel (..., H, W, heads, 32), sel32 (32, H*W))."""
+    rel = jnp.einsum(
+        "...hwnc,hwcj->...hwnj",
+        q_heads,
+        make_rcomb(H, W, rel_pos_h, rel_pos_w, q_heads.dtype),
+    )
+    sel = make_rel_scatter(H, W, dtype=q_heads.dtype)
     sel32 = jnp.pad(sel, ((0, 32 - H - W), (0, 0)))
     return rel, sel32
 
@@ -262,20 +281,90 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "aug_flash"
     num_windows: int = 1  # windows folded into the batch dim (set by Block)
+    geom: Optional[CompactGeometry] = None  # compact (pad-free) window layout
+
+    def _compact_call(self, xf, xe, ln):
+        """Compact-layout windowed attention: x_full (B*n_full, win^2, C)
+        through the packed-windows kernel, x_edge (B, E, C) through the
+        virtual-pad-key edge kernel (see ops/compact_window.py). LN1 rides
+        the qkv prologue; the block residual rides the proj epilogue."""
+        geom = self.geom
+        win, dim, heads = geom.win, self.dim, self.num_heads
+        hd = dim // heads
+        scale = hd ** -0.5
+        S = win * win
+        nf = geom.n_full
+        B = xf.shape[0] // nf
+        g1, be1 = ln
+        wq, bq = _ParamsDense(dim, 3 * dim, name="qkv")()
+        rel_pos_h = self.param(
+            "rel_pos_h", nn.initializers.zeros, (2 * win - 1, hd), jnp.float32
+        )
+        rel_pos_w = self.param(
+            "rel_pos_w", nn.initializers.zeros, (2 * win - 1, hd), jnp.float32
+        )
+        wqc = wq.astype(self.dtype)
+        bqc = bq.astype(self.dtype)[None]
+        proj = PallasHeadProj(dim, dtype=self.dtype, name="proj")
+
+        qkv_f = ln_linear_act_bt(
+            xf, g1[None], be1[None], wqc, bqc, eps=1e-6, activation=None
+        )  # (B*nf, S, 3*dim)
+        qh = qkv_f[:, :, :dim].reshape(B * nf, win, win, heads, hd)
+        rel_p, sel32 = rel_packed32(qh, rel_pos_h, rel_pos_w, win, win)
+        out_f = flash_qkv_packed_windows(
+            qkv_f.reshape(B, nf, S, 3 * dim),
+            rel_p.reshape(B, nf, S, heads * 32),
+            sel32, scale, heads, hd,
+        )  # (B, heads, nf, S, hd)
+        yf = proj(out_f, xf.reshape(B, nf, S, dim)).reshape(B * nf, S, dim)
+        if xe is None:
+            return yf, None
+
+        qkv_e = ln_linear_act_bt(
+            xe, g1[None], be1[None], wqc, bqc, eps=1e-6, activation=None,
+            block_s=480,
+        )  # (B, E, 3*dim)
+        q_e = qkv_e[:, :, :dim].reshape(B, geom.E, heads, hd)
+        rcomb = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_e.dtype)
+        rel_lp = edge_rel_lpad(
+            q_e, rcomb, bq[dim : 2 * dim].reshape(heads, hd), scale, geom
+        )  # (B, E, heads, 32) with the pad logit in lane LPAD_LANE
+        vb = bq[2 * dim :].astype(self.dtype).reshape(heads, hd)
+        outs = []
+        off = 0
+        for call in geom.call_groups:
+            n = sum(g.n for g in call)
+            R = call[0].nr * call[0].nc
+            rows = n * R
+            out_g = flash_qkv_packed_edge(
+                qkv_e[:, off : off + rows].reshape(B, n, R, 3 * dim),
+                rel_lp[:, off : off + rows].reshape(B, n, R, heads * REL_LANES),
+                edge_call_sel(geom, call, qkv_e.dtype),
+                vb, scale, heads, hd,
+            )  # (B, heads, n, R, hd)
+            y_g = proj(out_g, xe[:, off : off + rows].reshape(B, n, R, dim))
+            outs.append(y_g.reshape(B, rows, dim))
+            off += rows
+        return yf, jnp.concatenate(outs, axis=1)
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x,
         ln: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         mask: Optional[jnp.ndarray] = None,
         residual: Optional[jnp.ndarray] = None,
-    ) -> jnp.ndarray:
+    ):
         """Fused mode (ln is not None): x is the block's RAW input; LN1 (+pad
         mask) folds into the qkv matmul prologue and `residual` into the
         projection epilogue — Block's pre-norm and post-add never touch HBM.
+        Compact mode (x is a tuple): see `_compact_call`.
         Legacy mode (ln None): x arrives normed(+masked); caller adds the
         residual."""
+        if isinstance(x, tuple):
+            assert ln is not None and self.geom is not None
+            return self._compact_call(x[0], x[1], ln)
         B, N, _ = x.shape
         H, W = self.input_size
         assert N == H * W, (N, H, W)
@@ -491,11 +580,12 @@ class Block(nn.Module):
     window_size: int
     num_windows: int = 1  # windows folded into B' (window-carry)
     attn_size: Optional[Tuple[int, int]] = None  # (H, W) for global blocks
+    geom: Optional[CompactGeometry] = None  # compact layout (windowed, fused)
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
+        self, x, mask: Optional[jnp.ndarray] = None
+    ):
         cfg = self.cfg
         if self.window_size > 0:
             attn_size = (self.window_size, self.window_size)
@@ -510,8 +600,26 @@ class Block(nn.Module):
             dtype=cfg.dtype,
             attn_impl=cfg.attn_impl,
             num_windows=self.num_windows,
+            geom=self.geom,
             name="attn",
         )
+        hidden_dim = int(cfg.embed_dim * cfg.mlp_ratio)
+        if self.geom is not None:
+            # Compact (pad-free) carry: x is (x_full, x_edge); no validity
+            # mask exists because pad rows are never materialised.
+            assert isinstance(x, tuple)
+            g1, be1 = _ParamsLN(cfg.embed_dim, name="norm1")()
+            xf, xe = attn(x, ln=(g1, be1))
+            g2, be2 = _ParamsLN(cfg.embed_dim, name="norm2")()
+            w1, b1, w2, b2 = _ParamsMLP(cfg.embed_dim, hidden_dim, name="mlp")()
+            act = "gelu_tanh" if cfg.gelu_approximate else "gelu"
+            mlp = lambda t: ln_mlp_residual_bt(
+                t, g2[None], be2[None],
+                w1.astype(cfg.dtype), b1.astype(cfg.dtype)[None],
+                w2.astype(cfg.dtype), b2.astype(cfg.dtype)[None],
+                eps=1e-6, activation=act,
+            )
+            return mlp(xf), (mlp(xe) if xe is not None else None)
         if fused_attention_enabled(cfg.attn_impl, cfg.use_rel_pos, cfg.num_heads):
             # LN1(+mask) fused into the qkv prologue, residual into the proj
             # epilogue — see Attention.
@@ -528,14 +636,13 @@ class Block(nn.Module):
                     * mask[None].astype(x.dtype)
                 ).reshape(x.shape)
             x = shortcut + attn(x)
-        hidden = int(cfg.embed_dim * cfg.mlp_ratio)
-        if cfg.attn_impl == "flash" and jax.default_backend() != "cpu":
+        if fused_attention_enabled(cfg.attn_impl, cfg.use_rel_pos, cfg.num_heads):
             # Whole MLP as ONE kernel: LN2 in the prologue, GELU between the
             # two matmuls, residual in the epilogue — the 4*dim hidden never
             # leaves VMEM (the two-kernel split round-tripped ~400 MB of
             # hidden per ViT-H block at batch 8).
             g2, be2 = _ParamsLN(cfg.embed_dim, name="norm2")()
-            w1, b1, w2, b2 = _ParamsMLP(cfg.embed_dim, hidden, name="mlp")()
+            w1, b1, w2, b2 = _ParamsMLP(cfg.embed_dim, hidden_dim, name="mlp")()
             return ln_mlp_residual_bt(
                 x, g2[None], be2[None],
                 w1.astype(cfg.dtype), b1.astype(cfg.dtype)[None],
@@ -546,7 +653,7 @@ class Block(nn.Module):
         y = LayerNormFP32(eps=1e-6, name="norm2")(x)
         x = x + MLPBlock(
             dim=cfg.embed_dim,
-            hidden=hidden,
+            hidden=hidden_dim,
             dtype=cfg.dtype,
             gelu_approximate=cfg.gelu_approximate,
             name="mlp",
@@ -635,21 +742,45 @@ class ImageEncoderViT(nn.Module):
         has_windows = win > 0 and any(
             i not in cfg.global_attn_indexes for i in range(cfg.depth)
         )
-        if has_windows:
-            # Window-carry: partition ONCE per windowed run (the reference
-            # partitions + unpartitions around every block's attention); the
-            # carry layout is (B*nWin, win^2, C) and `valid` re-zeroes the
-            # structural pad tokens after each LN1 (see Block).
+        # Compact (pad-free) carry for the fused path: windowed runs hold
+        # (x_full (B*n_full, win^2, C), x_edge (B, E, C)) — 4096 instead of
+        # 4900 rows/image at ViT-H (the padded layout's ~20% row tax on
+        # qkv/MLP/proj, measured ~47 ms/pass at batch 8). Partition ONCE per
+        # windowed run; pad-token attention semantics live in the edge
+        # kernel's virtual pad key (ops/compact_window.py).
+        geom = None
+        if has_windows and fused_attention_enabled(
+            cfg.attn_impl, cfg.use_rel_pos, cfg.num_heads
+        ):
+            g = CompactGeometry(H, W, win)
+            geom = g if g.supported() else None
+        if has_windows and geom is None:
+            # Legacy padded window-carry: `valid` re-zeroes the structural
+            # pad tokens after each LN1 (see Block).
             valid = window_valid_mask(H, W, win)
             pf_w, pf_pad_hw = window_partition_seq(prompt_features, win)
             nwin = valid.shape[0]
+        elif has_windows:
+            pf_f, pf_e = compact_partition(prompt_features, geom)
 
         block_cls = nn.remat(Block) if cfg.remat else Block
         interm_embeddings = []
         x_w = None  # carry-layout activations (None <=> x holds grid layout)
+        xc = None   # compact carry (x_full, x_edge)
         for i in range(cfg.depth):
             windowed = win > 0 and i not in cfg.global_attn_indexes
-            if windowed:
+            if windowed and geom is not None:
+                if xc is None:
+                    xc = compact_partition(x, geom)
+                xf = xc[0] + prompt_gen.block_prompt(pf_f, i)
+                xe = (
+                    xc[1] + prompt_gen.block_prompt(pf_e, i)
+                    if xc[1] is not None else None
+                )
+                xc = block_cls(
+                    cfg, window_size=win, geom=geom, name=f"block_{i}"
+                )((xf, xe))
+            elif windowed:
                 if x_w is None:
                     x_w, pad_hw = window_partition_seq(x, win)
                 x_w = x_w + prompt_gen.block_prompt(pf_w, i)
@@ -657,6 +788,9 @@ class ImageEncoderViT(nn.Module):
                     cfg, window_size=win, num_windows=nwin, name=f"block_{i}"
                 )(x_w, valid)
             else:
+                if xc is not None:
+                    x = compact_unpartition(xc[0], xc[1], geom)
+                    xc = None
                 if x_w is not None:
                     x = window_unpartition_seq(x_w, win, pad_hw, (H, W))
                     x_w = None
@@ -666,6 +800,8 @@ class ImageEncoderViT(nn.Module):
                 )(x.reshape(B, H * W, D)).reshape(B, H, W, D)
                 if interm:
                     interm_embeddings.append(x)
+        if xc is not None:
+            x = compact_unpartition(xc[0], xc[1], geom)
         if x_w is not None:
             x = window_unpartition_seq(x_w, win, pad_hw, (H, W))
 

@@ -50,6 +50,13 @@ from .vjp import pallas_with_xla_vjp
 _LANE_ALIGN = 128
 
 
+def _on_cpu() -> bool:
+    """Kernel wrappers degrade to their XLA reference on CPU so the fused
+    encoder structure (compact window layout included) is one code path that
+    tests/dryruns exercise end-to-end without a TPU."""
+    return jax.default_backend() == "cpu"
+
+
 def _relpos_kernel(q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
     q = q_ref[0]      # (block_q, d) — pre-scaled
     k = k_ref[0]      # (seq, d)
@@ -335,10 +342,10 @@ def flash_qkv_packed_windows(
         relh = jnp.moveaxis(rel.reshape(B, nwin, Nw, heads, 32), 3, 1)
         return xla_attention_relpos(q, k, v, relh, sel32)
 
-    if gd % _LANE_ALIGN != 0:
+    if gd % _LANE_ALIGN != 0 or _on_cpu():
         # The packed layout needs lane-aligned head-group slices; rather than
         # silently widening head_group past the alignment contract, use the
-        # XLA formulation (only tiny/test shapes land here).
+        # XLA formulation (only tiny/test shapes and CPU land here).
         return ref(qkv, rel, sel32)
 
     run = lambda qkv, rel, sel32: pl.pallas_call(
@@ -373,6 +380,135 @@ def flash_qkv_packed_windows(
         ),
     )(qkv, qkv, qkv, rel, sel32)
     return pallas_with_xla_vjp(run, ref)(qkv, rel, sel32)
+
+
+def _qkv_packed_edge_kernel(
+    scale, head_group, d, q_ref, k_ref, v_ref, rel_ref, sel_ref, vb_ref, o_ref
+):
+    # Edge-window sibling of `_qkv_packed_windows_kernel`: the window's pad
+    # tokens are ONE virtual key per query — logit `Lpad` precomputed into
+    # rel lane LPAD_LANE (ops/compact_window.py), value = the v slice of the
+    # qkv bias (what the reference's zero-padded tokens produce). Softmax
+    # runs over [real keys | virtual pad key]; algebraically identical to
+    # the reference's softmax over the padded win^2 window.
+    from .compact_window import LPAD_LANE, REL_LANES
+
+    sel = sel_ref[0]  # (REL_LANES, R) — per-window scatter, Lpad row is zero
+    staged = []
+    for h in range(head_group):
+        q = q_ref[0, 0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0, 0][:, h * d : (h + 1) * d]  # (R, d)
+        rel = rel_ref[0, 0][:, h * REL_LANES : (h + 1) * REL_LANES]  # (R, 32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (R, R)
+        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+        lp = rel[:, LPAD_LANE : LPAD_LANE + 1].astype(jnp.float32)  # (R, 1)
+        staged.append((s, lp))
+    for h in range(head_group):
+        v = v_ref[0, 0][:, h * d : (h + 1) * d]
+        vb = vb_ref[h]  # (d,) pad-token value (sublane-indexed: lane-offset
+        #                  slices of a packed bias fail Mosaic's broadcast
+        #                  relayout at fp32)
+        s, lp = staged[h]
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), lp)
+        p = jnp.exp(s - m)
+        pp = jnp.exp(lp - m)  # virtual pad key's probability mass (R, 1)
+        l = jnp.sum(p, axis=-1, keepdims=True) + pp
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        o += (pp / l) * vb.astype(jnp.float32)
+        o_ref[0, h, 0] = o.astype(o_ref.dtype)
+
+
+def flash_qkv_packed_edge(
+    qkv: jnp.ndarray,   # (B, n, R, 3*heads*d) — packed qkv, real rows only
+    rel: jnp.ndarray,   # (B, n, R, heads*32) — rel factors + Lpad in lane 28
+    sel: jnp.ndarray,   # (n, 32, R) per-window scatter (compact_window.edge_call_sel)
+    vb: jnp.ndarray,    # (heads, d) — v slice of the qkv bias (pad value)
+    scale: float,
+    heads: int,
+    d: int,
+    head_group: int = 8,
+) -> jnp.ndarray:
+    """Partially-padded-window attention on the compact (pad-free) layout.
+
+    Each window has R = nr*nc REAL tokens; pad keys are folded into one
+    virtual key per query (see ops/compact_window.py). Output is
+    head-leading (B, heads, n, R, d) for `proj_from_heads`. Falls back to
+    the XLA formulation on CPU or Mosaic-unfriendly shapes."""
+    from .compact_window import LPAD_LANE, REL_LANES
+
+    B, n, R, _ = qkv.shape
+    if heads % head_group != 0:
+        head_group = heads
+    n_hg = heads // head_group
+    gd = head_group * d
+
+    def ref(qkv, rel, sel, vb):
+        r = qkv.reshape(B, n, R, 3, heads, d)
+        q = jnp.moveaxis(r[..., 0, :, :], 3, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(r[..., 1, :, :], 3, 1)  # (B, heads, n, R, d)
+        v = jnp.moveaxis(r[..., 2, :, :], 3, 1)
+        relh = jnp.moveaxis(rel.reshape(B, n, R, heads, REL_LANES), 3, 1)
+        s = jnp.einsum("bhnqc,bhnkc->bhnqk", q, k, preferred_element_type=jnp.float32)
+        s = s + jnp.einsum(
+            "bhnqr,nrk->bhnqk", relh, sel.astype(relh.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        lp = relh[..., LPAD_LANE].astype(jnp.float32)[..., None]  # (B,h,n,R,1)
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), lp)
+        p = jnp.exp(s - m)
+        pp = jnp.exp(lp - m)
+        l = jnp.sum(p, axis=-1, keepdims=True) + pp
+        o = jnp.einsum(
+            "bhnqk,bhnkc->bhnqc", (p / l).astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        vbh = vb.astype(jnp.float32)
+        o = o + (pp / l) * vbh[None, :, None, None, :]
+        return o.astype(qkv.dtype)
+
+    if gd % _LANE_ALIGN != 0 or R % 8 != 0 or _on_cpu():
+        return ref(qkv, rel, sel, vb)
+
+    kernel = functools.partial(_qkv_packed_edge_kernel, scale, head_group, d)
+    blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
+
+    run = lambda qkv, rel, sel, vb: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, heads, n, R, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, n, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, 1, R, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R, gd), blk(2), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R, head_group * REL_LANES),
+                             lambda b, w, g: (b, w, 0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, REL_LANES, R), lambda b, w, g: (w, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((head_group, d), lambda b, w, g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, head_group, 1, R, d),
+                lambda b, w, g: (b, g, w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * n * R * R * (2 * d + REL_LANES),
+            bytes_accessed=qkv.size * 2 + rel.size * 2,
+            transcendentals=B * heads * n * R * R,
+        ),
+    )(qkv, qkv, qkv, rel, sel, vb)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel, vb)
 
 
 def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
@@ -426,7 +562,7 @@ def flash_qkv_packed_plain(
             "bhqk,bhkc->bhqc", p, v, preferred_element_type=jnp.float32
         ).astype(v.dtype)
 
-    if gd % _LANE_ALIGN != 0:
+    if gd % _LANE_ALIGN != 0 or _on_cpu():
         return ref(qkv)  # lane alignment contract (see flash_qkv_packed_windows)
 
     run = lambda qkv: pl.pallas_call(
@@ -515,7 +651,7 @@ def flash_qkv_packed_global(
         relh = jnp.moveaxis(rel.reshape(B, N, heads, hw), 2, 1)
         return xla_attention_relpos(q, k, v, relh, sel)
 
-    if gd % _LANE_ALIGN != 0 or hw % _LANE_ALIGN != 0:
+    if gd % _LANE_ALIGN != 0 or hw % _LANE_ALIGN != 0 or _on_cpu():
         return ref(qkv, rel, sel)
 
     kernel = functools.partial(_qkv_packed_global_kernel, scale, head_group, d, hw)

@@ -23,6 +23,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .vjp import pallas_with_xla_vjp
 
 
+def _on_cpu() -> bool:
+    """Kernel wrappers degrade to their XLA reference on CPU so the fused
+    encoder structure is one CPU-testable code path (see flash_attention)."""
+    return jax.default_backend() == "cpu"
+
+
 def _apply_act(acc, activation):
     if activation == "gelu_tanh":
         return jax.nn.gelu(acc, approximate=True)
@@ -86,6 +92,9 @@ def linear_pallas(
         acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
         acc = _apply_act(acc + b.astype(jnp.float32), activation)
         return acc.astype(x.dtype)
+
+    if _on_cpu():
+        return ref(x, w, b)[:orig_m]
 
     run = lambda x, w, b: pl.pallas_call(
         kernel,
@@ -164,6 +173,9 @@ def ln_linear_act_bt(
             "bsk,kn->bsn", xn.astype(x.dtype), w, preferred_element_type=jnp.float32
         )
         return _apply_act(acc + b.astype(jnp.float32), activation).astype(x.dtype)
+
+    if _on_cpu():
+        return ref(x, gamma, beta, w, b)
 
     run = lambda x, gamma, beta, w, b: pl.pallas_call(
         kernel,
@@ -254,6 +266,9 @@ def ln_mask_linear_bt(
             "bsk,kn->bsn", xn.astype(x.dtype), w, preferred_element_type=jnp.float32
         )
         return (acc + b.astype(jnp.float32)).astype(x.dtype)
+
+    if _on_cpu():
+        return ref(x, gamma, beta, mask, w, b)
 
     run = lambda x, gamma, beta, mask, w, b: pl.pallas_call(
         kernel,
@@ -348,6 +363,9 @@ def ln_mlp_residual_bt(
         )
         return (acc + b2.astype(jnp.float32) + x32).astype(x.dtype)
 
+    if _on_cpu():
+        return ref(x, gamma, beta, w1, b1, w2, b2)
+
     run = lambda x, gamma, beta, w1, b1, w2, b2: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Bp, S, K), x.dtype),
@@ -424,6 +442,9 @@ def proj_from_heads_res(
         )
         return (acc + b.astype(jnp.float32) + res.astype(jnp.float32)).astype(x.dtype)
 
+    if _on_cpu():
+        return ref(x, w, b, res)
+
     run = lambda x, w, b, res: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, T, S, out), x.dtype),
@@ -478,6 +499,9 @@ def proj_from_heads(
             "bhtsd,hdo->btso", x, w, preferred_element_type=jnp.float32
         )
         return (acc + b.astype(jnp.float32)).astype(x.dtype)
+
+    if _on_cpu():
+        return ref(x, w, b)
 
     run = lambda x, w, b: pl.pallas_call(
         kernel,

@@ -51,7 +51,45 @@ def make_param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def _put(leaf, sharding: NamedSharding):
+    """device_put that also works when `sharding` spans other processes'
+    devices (multi-host): every process holds the full host-side value and
+    contributes its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    import numpy as np
+
+    host = np.asarray(leaf)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
 def shard_params(mesh: Mesh, params):
     """Device-put params according to the partition rules."""
     shardings = make_param_shardings(mesh, params)
-    return jax.device_put(params, shardings)
+    return jax.tree.map(_put, params, shardings)
+
+
+def make_replicated_array(mesh: Mesh, x):
+    """Fully-replicated global array from identical host data on each process."""
+    return _put(x, NamedSharding(mesh, P()))
+
+
+def make_global_batch_array(sharding: NamedSharding, global_arr):
+    """Assemble a batch-axis-sharded global jax.Array from host data.
+
+    Single-process: a plain device_put. Multi-process (after
+    `jax.distributed.initialize`): every process holds the SAME global batch
+    (the data stream is seed-deterministic, so ranks agree without any
+    exchange — the multi-host replacement for the reference's per-rank
+    DistributedSampler, `train_ovcos_maskdecoder_edge.py:287-293`) and
+    contributes only the contiguous row slice its addressable devices own.
+    Requires the batch axis to divide evenly across processes."""
+    if jax.process_count() == 1:
+        return jax.device_put(global_arr, sharding)
+    import numpy as np
+
+    n, p = jax.process_count(), jax.process_index()
+    B = global_arr.shape[0]
+    assert B % n == 0, (B, n)
+    local = np.asarray(global_arr[p * (B // n) : (p + 1) * (B // n)])
+    return jax.make_array_from_process_local_data(sharding, local)

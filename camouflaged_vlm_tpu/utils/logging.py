@@ -12,6 +12,14 @@ import sys
 from typing import Optional
 
 _LOG_FILE: Optional[str] = None
+_QUIET = False
+
+
+def set_quiet(quiet: bool = True) -> None:
+    """Silence `log` (multi-host: non-zero processes keep quiet so epoch
+    lines and metrics are emitted once, by process 0)."""
+    global _QUIET
+    _QUIET = quiet
 
 
 def set_log_file(path: str) -> None:
@@ -22,6 +30,8 @@ def set_log_file(path: str) -> None:
 
 def log(obj, filename: str = "log.txt") -> None:
     """Print and append to the configured log file (if any)."""
+    if _QUIET:
+        return
     print(obj, flush=True)
     if _LOG_FILE is not None:
         with open(_LOG_FILE, "a") as f:

@@ -150,6 +150,50 @@ def kernel_checks():
 
     record("flash_qkv_packed_global", got, jax.jit(glob_ref)(qkv_g, rel_g), 1e-4)
 
+    # --- edge-window kernel (compact pad-free layout, round 3) ---
+    from camouflaged_vlm_tpu.ops import compact_window as cw
+    from camouflaged_vlm_tpu.models.sam_encoder import make_rcomb
+
+    geom = cw.CompactGeometry(64, 64, 14)
+    heads, d = 16, 80
+    dim = heads * d
+    qkv_e = jnp.asarray(rng.standard_normal((8, geom.E, 3 * dim)) * 0.2, dt)
+    bias_e = jnp.asarray(rng.standard_normal(3 * dim) * 0.1, jnp.float32)
+    relh_t = jnp.asarray(rng.standard_normal((27, d)) * 0.05, jnp.float32)
+    relw_t = jnp.asarray(rng.standard_normal((27, d)) * 0.05, jnp.float32)
+
+    def edge_run(qkv_e):
+        q_e = qkv_e[:, :, :dim].reshape(8, geom.E, heads, d)
+        rcomb = make_rcomb(14, 14, relh_t, relw_t, qkv_e.dtype)
+        rel_lp = cw.edge_rel_lpad(
+            q_e, rcomb, bias_e[dim : 2 * dim].reshape(heads, d), scale, geom
+        )
+        vb = bias_e[2 * dim :].astype(dt).reshape(heads, d)
+        outs, off = [], 0
+        for call in geom.call_groups:
+            n = sum(x.n for x in call)
+            R = call[0].nr * call[0].nc
+            rows = n * R
+            o = fa.flash_qkv_packed_edge(
+                qkv_e[:, off : off + rows].reshape(8, n, R, 3 * dim),
+                rel_lp[:, off : off + rows].reshape(8, n, R, heads * cw.REL_LANES),
+                cw.edge_call_sel(geom, call, qkv_e.dtype),
+                vb, scale, heads, d,
+            )
+            outs.append(o.reshape(8, heads, rows, d))
+            off += rows
+        return jnp.concatenate(outs, axis=2)
+
+    got = jax.jit(edge_run)(qkv_e)
+    want = jax.jit(
+        lambda q: cw.edge_attention_literal(
+            q, bias_e, relh_t, relw_t, scale, heads, geom
+        )
+    )(qkv_e)
+    # literal padded-window oracle = different formulation -> bf16/MXU
+    # rounding dominates; semantic bound only
+    record("flash_qkv_packed_edge (semantic)", got, want, 1e-2)
+
     qkv_c = jnp.asarray(rng.standard_normal((8, 581, 3 * 16 * 64)) * 0.2, dt)
     got = jax.jit(lambda q: fa.flash_qkv_packed_plain(q, 64 ** -0.5, 16, 64))(qkv_c)
 

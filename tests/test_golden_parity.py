@@ -79,10 +79,10 @@ ENC_TINY = dict(
 )
 
 
-def _torch_tiny_encoder(seed=0):
+def _torch_tiny_encoder(seed=0, img_size=None):
     refsam = load_refsam()
     enc = refsam.image_encoder.ImageEncoderViT(
-        img_size=ENC_TINY["img_size"],
+        img_size=img_size or ENC_TINY["img_size"],
         patch_size=ENC_TINY["patch_size"],
         in_chans=3,
         embed_dim=ENC_TINY["embed_dim"],
@@ -101,25 +101,41 @@ def _torch_tiny_encoder(seed=0):
     return randomize_torch_module(enc, seed=seed)
 
 
-def _our_tiny_encoder_cfg():
+def _our_tiny_encoder_cfg(img_size=None, attn_impl="reference"):
     # prompt_scale_factor=32 matches the reference's hard-coded
     # PromptGenerator scale_factor (`image_encoder.py:119`).
+    enc = dict(ENC_TINY)
+    if img_size:
+        enc["img_size"] = img_size
     return SamEncoderConfig(
-        **ENC_TINY,
+        **enc,
         prompt_scale_factor=32,
-        attn_impl="reference",
+        attn_impl=attn_impl,
         gelu_approximate=False,
     )
 
 
-def test_sam_encoder_golden_parity(rng):
+@pytest.mark.parametrize(
+    "img_size,attn_impl",
+    [
+        (64, "reference"),
+        # grid 5, window 2: grid % window != 0 exercises the structural
+        # pad-token semantics (the reference zero-pads after LN1, so pad k/v
+        # equal the qkv bias) in BOTH implementations: the dense 'reference'
+        # path and the compact pad-free layout used by 'flash'
+        # (ops/compact_window.py; ADVICE round-2 medium finding).
+        (80, "reference"),
+        (80, "flash"),
+    ],
+)
+def test_sam_encoder_golden_parity(rng, img_size, attn_impl):
     import jax
 
-    tenc = _torch_tiny_encoder()
-    cfg = _our_tiny_encoder_cfg()
+    tenc = _torch_tiny_encoder(img_size=img_size)
+    cfg = _our_tiny_encoder_cfg(img_size=img_size, attn_impl=attn_impl)
     model = ImageEncoderViT(cfg)
 
-    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    x = rng.standard_normal((2, img_size, img_size, 3)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
 
     shim = types.SimpleNamespace(encoder=cfg)

@@ -73,3 +73,50 @@ def test_gpt_bank_and_combine(tiny_text_tower, tmp_path):
     np.testing.assert_allclose(combined, want, atol=1e-7)
     # single-bank passthrough
     np.testing.assert_array_equal(combine_banks([bank]), bank)
+
+
+def test_gpt_bank_empty_prompt_list_raises(tiny_text_tower, tmp_path):
+    """A class whose CuPL prompt list is empty must fail with a clear error,
+    not a bare IndexError from the pad-to-bucket path (ADVICE round-2)."""
+    cfg, params, tok = tiny_text_tower
+    path = tmp_path / "cupl.json"
+    path.write_text(json.dumps({"cat": []}))
+    with pytest.raises(ValueError, match="empty prompt list"):
+        encode_gpt_bank(cfg, params, tok, ["cat"], str(path))
+
+
+def test_cli_mode_order_follows_reference(monkeypatch, tiny_text_tower, tmp_path):
+    """The ensembling chain is order-sensitive; the CLI must fold banks in
+    the reference's fixed sequence imagenet80 -> camoprompts -> CuPL-GPT ->
+    attributes regardless of --templates spelling (ADVICE round-2;
+    `alphaCLIP.py:131-242`)."""
+    import camouflaged_vlm_tpu.cli.precompute_text_bank as ptb
+
+    cfg, params, tok = tiny_text_tower
+    order = []
+    monkeypatch.setattr(
+        ptb, "encode_text_features",
+        lambda *a, **k: (order.append(("tpl", len(a[4]))), np.ones((1, 4)))[1],
+    )
+    monkeypatch.setattr(
+        ptb, "encode_gpt_bank",
+        lambda *a, **k: (order.append(("gpt", 0)), np.ones((1, 4)))[1],
+    )
+    monkeypatch.setattr(ptb, "load_openai_clip_state_dict", lambda p: {})
+    monkeypatch.setattr(
+        ptb, "convert_openai_clip",
+        lambda sd, cfg_: ({"clip_model": {"text_encoder": params}}, tok, []),
+    )
+    gpt_path = tmp_path / "cupl.json"
+    gpt_path.write_text(json.dumps({"cat": ["a cat."]}))
+    out = tmp_path / "bank.npy"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["prog", "--clip-ckpt", "x", "--classnames", "cat",
+         "--templates", "attributes,camoprompts,imagenet80",
+         "--gpt-json", str(gpt_path), "--out", str(out)],
+    )
+    ptb.main()
+    sizes = [len(TEMPLATE_SETS[m]) for m in ("imagenet80", "camoprompts")]
+    assert order == [("tpl", sizes[0]), ("tpl", sizes[1]), ("gpt", 0),
+                     ("tpl", len(TEMPLATE_SETS["attributes"]))]
