@@ -30,8 +30,7 @@ from ...ops.flash_attention import flash_qkv_packed_plain
 from ...ops.linear import (
     ln_linear_act_bt,
     ln_mlp_residual_bt,
-    proj_from_heads,
-    proj_from_heads_res,
+    proj_rows,
 )
 
 
@@ -89,27 +88,24 @@ def build_causal_mask(length: int) -> jnp.ndarray:
 
 
 class PallasClipProj(nn.Module):
-    """Output projection consuming head-leading (B, heads, 1, S, d) directly
-    (param tree identical to nn.Dense); optional fused residual epilogue."""
+    """Output projection consuming the attention kernel's d-major
+    (B, 1, heads*d, S) output via `proj_rows` (param tree identical to
+    nn.Dense); optional fused residual epilogue."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x5d: jnp.ndarray, res: Optional[jnp.ndarray] = None
+        self, x: jnp.ndarray, res: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        B, heads, T, S, d = x5d.shape
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (heads * d, self.features), jnp.float32,
+            (x.shape[2], self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        w = kernel.astype(self.dtype).reshape(heads, d, self.features)
         b = bias.astype(self.dtype)[None]
-        if res is not None:
-            return proj_from_heads_res(x5d, w, b, res)
-        return proj_from_heads(x5d, w, b)  # (B, T, S, features)
+        return proj_rows(x, kernel.astype(self.dtype), b, res)
 
 
 class ClipAttention(nn.Module):
@@ -152,10 +148,10 @@ class ClipAttention(nn.Module):
             )
             out = flash_qkv_packed_plain(
                 qkv3d, scale, self.num_heads, head_dim
-            )  # (B, heads, L, hd)
-            res5 = residual.reshape(B, 1, L, self.dim) if residual is not None else None
+            )  # (B, heads*hd, L) — d-major for proj_rows
+            res4 = residual.reshape(B, 1, L, self.dim) if residual is not None else None
             y = PallasClipProj(self.dim, dtype=self.dtype, name="out_proj")(
-                out.reshape(B, self.num_heads, 1, L, head_dim), res5
+                out.reshape(B, 1, self.dim, L), res4
             )
             return y.reshape(B, L, self.dim)
         assert ln is None, "fused ln requires the Pallas path (caller gates)"

@@ -38,7 +38,7 @@ from ..ops.compact_window import (
     CompactGeometry,
     compact_partition,
     compact_unpartition,
-    edge_call_sel,
+    edge_consts,
     edge_rel_lpad,
 )
 from ..ops.window import (
@@ -66,6 +66,7 @@ from ..ops.linear import (
     ln_mlp_residual_bt,
     proj_from_heads,
     proj_from_heads_res,
+    proj_rows,
 )
 
 
@@ -183,19 +184,26 @@ class PallasHeadProj(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x5d: jnp.ndarray, res: Optional[jnp.ndarray] = None
+        self, x: jnp.ndarray, res: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        B, heads, T, S, d = x5d.shape
+        """x: d-major (B, T, heads*d, S) from the packed attention kernels
+        (-> proj_rows, full-rate contiguous reads), or legacy head-leading
+        (B, heads, T, S, d) 5D (-> proj_from_heads; only the H+W>32
+        fallback attention emits it)."""
+        in_dim = x.shape[1] * x.shape[-1] if x.ndim == 5 else x.shape[2]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (heads * d, self.features), jnp.float32,
+            (in_dim, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        w = kernel.astype(self.dtype).reshape(heads, d, self.features)
         b = bias.astype(self.dtype)[None]
+        if x.ndim == 4:
+            return proj_rows(x, kernel.astype(self.dtype), b, res)
+        B, heads, T, S, d = x.shape
+        w = kernel.astype(self.dtype).reshape(heads, d, self.features)
         if res is not None:
-            return proj_from_heads_res(x5d, w, b, res)
-        return proj_from_heads(x5d, w, b)  # (B, T, S, features)
+            return proj_from_heads_res(x, w, b, res)
+        return proj_from_heads(x, w, b)  # (B, T, S, features)
 
 
 def fused_attention_enabled(attn_impl: str, use_rel_pos: bool, num_heads: int) -> bool:
@@ -323,30 +331,23 @@ class Attention(nn.Module):
 
         qkv_e = ln_linear_act_bt(
             xe, g1[None], be1[None], wqc, bqc, eps=1e-6, activation=None,
-            block_s=480,
+            block_s=504,  # divides E=1008 (ViT-H); bounds the fp32 accumulator
         )  # (B, E, 3*dim)
         q_e = qkv_e[:, :, :dim].reshape(B, geom.E, heads, hd)
         rcomb = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_e.dtype)
-        rel_lp = edge_rel_lpad(
+        rel_e = edge_rel_lpad(
             q_e, rcomb, bq[dim : 2 * dim].reshape(heads, hd), scale, geom
-        )  # (B, E, heads, 32) with the pad logit in lane LPAD_LANE
+        )  # (B, E, heads, 32) with the virtual-pad-key logit in lane 28
+        sel_e, kmask_e = edge_consts(geom, qkv_e.dtype)
         vb = bq[2 * dim :].astype(self.dtype).reshape(heads, hd)
-        outs = []
-        off = 0
-        for call in geom.call_groups:
-            n = sum(g.n for g in call)
-            R = call[0].nr * call[0].nc
-            rows = n * R
-            out_g = flash_qkv_packed_edge(
-                qkv_e[:, off : off + rows].reshape(B, n, R, 3 * dim),
-                rel_lp[:, off : off + rows].reshape(B, n, R, heads * REL_LANES),
-                edge_call_sel(geom, call, qkv_e.dtype),
-                vb, scale, heads, hd,
-            )  # (B, heads, n, R, hd)
-            y_g = proj(out_g, xe[:, off : off + rows].reshape(B, n, R, dim))
-            outs.append(y_g.reshape(B, rows, dim))
-            off += rows
-        return yf, jnp.concatenate(outs, axis=1)
+        n, R = geom.n_edge, geom.R_u
+        out_e = flash_qkv_packed_edge(
+            qkv_e.reshape(B, n, R, 3 * dim),
+            rel_e.reshape(B, n, R, heads * REL_LANES),
+            sel_e, vb, kmask_e, scale, heads, hd,
+        )  # (B, n, heads*hd, R) — d-major
+        ye = proj(out_e, xe.reshape(B, n, R, dim))
+        return yf, ye.reshape(B, geom.E, dim)
 
     @nn.compact
     def __call__(
@@ -424,14 +425,14 @@ class Attention(nn.Module):
                     qkv3d.reshape(B // nwin, nwin, N, 3 * self.dim),
                     rel_p.reshape(B // nwin, nwin, N, self.num_heads * 32),
                     sel32, scale, self.num_heads, head_dim,
-                )  # (B/nwin, heads, nwin, Nw, hd) — already proj-tiled 5D
+                )  # (B/nwin, nwin, heads*hd, Nw) — d-major for proj_rows
             elif nwin > 1 or N <= 512:
                 rel, sel = rel_and_scatter(qh, rel_pos_h, rel_pos_w, H, W)
                 out = flash_qkv_relpos_windows(
                     qkv3d.reshape(B // nwin, nwin, N, 3 * self.num_heads, head_dim),
                     rel.reshape(B // nwin, nwin, N, self.num_heads, H + W),
                     sel, scale,
-                )  # (B/nwin, heads, nwin, Nw, hd)
+                )  # (B/nwin, heads, nwin, Nw, hd) — legacy 5D layout
             else:
                 # Global blocks (4 of 32): packed-lane q-tiled kernel straight
                 # off the qkv projection — no (B,N,3,heads,d) transpose and no
@@ -443,15 +444,17 @@ class Attention(nn.Module):
                     qkv3d,
                     rel.reshape(B, N, self.num_heads * (H + W)),
                     sel, scale, self.num_heads, head_dim,
-                )  # (B, heads, N, hd)
-                tile = 512 if N % 512 == 0 else N
-                out = out.reshape(B, self.num_heads, N // tile, tile, head_dim)
-            # head-leading (B', heads, T, S, hd) goes straight into the
-            # projection kernel — the head moveaxis never materialises, and
-            # the block residual rides the projection epilogue.
+                )  # (B, heads*hd, N) — d-major
+                out = out.reshape(B, 1, self.num_heads * head_dim, N)
+            # the attention output goes straight into the projection kernel
+            # (d-major packed rows or the legacy head-leading 5D; see
+            # PallasHeadProj), and the block residual rides the epilogue.
             res = None
             if residual is not None:
-                _, _, T_, S_, _ = out.shape
+                if out.ndim == 4:
+                    T_, S_ = out.shape[1], out.shape[3]
+                else:
+                    T_, S_ = out.shape[2], out.shape[3]
                 res = residual.reshape(out.shape[0], T_, S_, self.dim)
             y = PallasHeadProj(self.dim, dtype=self.dtype, name="proj")(out, res)
             return y.reshape(B, N, self.dim)

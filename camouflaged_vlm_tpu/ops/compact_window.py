@@ -7,8 +7,8 @@ ViT-H runs 64x64 tokens as 70x70 = 25 windows of 196 tokens, so every
 row-wise op (qkv, MLP, proj) processes 4900 rows where only 4096 are real —
 a ~20% FLOP/bandwidth tax (~47 ms/pass at batch 8, measured round 2).
 
-This module removes the pad rows entirely. Key observation: the reference
-applies LN1 on the UNPADDED grid and pads with zeros afterwards
+This module removes the pad rows. Key observation: the reference applies
+LN1 on the UNPADDED grid and pads with zeros afterwards
 (`image_encoder.py:433-439`), so a pad token enters the qkv projection as an
 exact zero row — its k and v equal the qkv BIAS, a per-head constant, and
 its attention-score contribution to a real query q at window position
@@ -18,26 +18,32 @@ its attention-score contribution to a real query q at window position
 
 Within each partially-padded window the pad positions form a union of at
 most two PRODUCT sets (rows x cols), so the total pad probability mass per
-query collapses to a closed form:
+query collapses to ONE virtual key whose logit
 
-    sum_pad exp(s_pad) = exp(q.k_bias*scale) * (sum_kh e^rel_h)(sum_kw e^rel_w)
+    Lpad = logsumexp_t [ q.k_bias*scale + LSE(rel_h over kh_t)
+                                        + LSE(rel_w over kw_t) ]
 
-summed over the product terms — i.e. ONE virtual key per query whose logit
-`Lpad = log sum_pad exp(s_pad)` is computed from the (already materialised)
-rel-pos factors, and whose value is the constant v_bias. Softmax over
-[real keys | virtual pad key] is algebraically identical to the reference's
-softmax over the padded window.
+is computed in XLA from the rel factors and delivered to the kernel in rel
+lane LPAD_LANE — CONCATENATED in at construction (an `.at[].set` scatter
+into the built rel tensor cost 24 ms/pass of dynamic-update-slices, and
+computing Lpad inside the kernel cost 28 ms/pass of poorly-vectorised
+per-head masked reductions; both measured round 3). Softmax over
+[real keys | virtual pad key] is algebraically identical to the
+reference's softmax over the padded window.
 
 Layout: a windowed run carries two tensors instead of one padded one —
 
     x_full: (B * n_full, win*win, C)   interior windows (all tokens real)
-    x_edge: (B, E, C)                  right-edge | bottom-edge | corner
-                                       windows' real tokens, window-major,
-                                       row-major within each window
+    x_edge: (B, n_edge * R_u, C)       right | bottom | corner windows'
+                                       tokens, window-major, row-major
+                                       within each window
 
-ViT-H: n_full = 16 (3136 rows), E = 960 -> 4096 rows/image vs 4900 padded.
-Row-wise kernels run on both tensors with no validity mask (there is nothing
-to mask); only the edge-window attention kernel knows pads ever existed.
+All edge windows share ONE uniform row count R_u = max over edge groups of
+(rows-per-window), so a single kernel call covers them; windows with fewer
+real rows (the corner) carry zero-filled dummy rows whose key columns are
+masked with -1e30 in-kernel and whose query rows are discarded at
+unpartition. ViT-H: n_full = 16 (3136 rows), n_edge = 9, R_u = 112 ->
+4144 rows/image vs 4900 padded.
 """
 
 from __future__ import annotations
@@ -46,25 +52,24 @@ import dataclasses
 import functools
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 # Lane layout of the packed rel factors (see sam_encoder.rel_packed32): per
-# head, lanes [0, win) hold rel_h over kh, [win, 2*win) hold rel_w over kw.
-# Lane LPAD_LANE carries the precomputed virtual-pad-key logit; the scatter
-# matrices keep that row zero so it never pollutes real-key scores.
+# head, lanes [0, win) hold rel_h over kh, [win, 2*win) hold rel_w over kw;
+# edge windows carry the virtual-pad-key logit in lane LPAD_LANE.
 REL_LANES = 32
 LPAD_LANE = 28
+NEG = -1e30
 
 
 @dataclasses.dataclass(frozen=True)
 class EdgeGroup:
-    """One attention-kernel call: `n` windows of `nr` x `nc` real tokens.
+    """`n` edge windows of `nr` x `nc` real tokens.
 
     `terms` lists the pad-position product sets of each window as
-    (kh_lo, kh_hi, kw_lo, kw_hi) ranges in window coordinates; a window's
-    terms tuple may be shorter than another's (corner has two)."""
+    (kh_lo, kh_hi, kw_lo, kw_hi) ranges in window coordinates (the corner
+    has two; a missing second term is encoded by all-zero lane masks)."""
 
     n: int
     nr: int
@@ -72,8 +77,8 @@ class EdgeGroup:
     terms: Tuple[Tuple[int, int, int, int], ...]
 
     @property
-    def rows(self) -> int:
-        return self.n * self.nr * self.nc
+    def rows(self) -> int:  # real rows per window
+        return self.nr * self.nc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,9 +115,8 @@ class CompactGeometry:
 
     @property
     def edge_groups(self) -> Tuple[EdgeGroup, ...]:
-        """Right-edge, bottom-edge, corner window groups (row order of
-        x_edge). Adjacent groups with equal per-window row counts are safe to
-        merge at the kernel-call level; see `call_groups`."""
+        """Right-edge, bottom-edge, corner window groups (window order of
+        x_edge)."""
         k, nh, nw, rb, rw = self.win, self.nh, self.nw, self.rb, self.rw
         groups = []
         if rw:
@@ -124,24 +128,19 @@ class CompactGeometry:
         return tuple(groups)
 
     @property
-    def call_groups(self) -> Tuple[Tuple[EdgeGroup, ...], ...]:
-        """edge_groups partitioned into kernel calls: adjacent groups whose
-        windows have equal row counts share one call (ViT-H: the 4 right +
-        4 bottom windows are all 112 rows -> one call + the 64-row corner)."""
-        calls = []
-        for g in self.edge_groups:
-            if calls and calls[-1][0].nr * calls[-1][0].nc == g.nr * g.nc:
-                calls[-1].append(g)
-            else:
-                calls.append([g])
-        return tuple(tuple(c) for c in calls)
+    def n_edge(self) -> int:
+        return sum(g.n for g in self.edge_groups)
+
+    @property
+    def R_u(self) -> int:
+        """Uniform per-window row count (smaller windows are zero-padded)."""
+        return max((g.rows for g in self.edge_groups), default=0)
 
     @property
     def E(self) -> int:
-        return sum(g.rows for g in self.edge_groups)
+        return self.n_edge * self.R_u
 
     def supported(self) -> bool:
-        """Packed rel layout must fit kh+kw lanes below LPAD_LANE."""
         return 2 * self.win <= LPAD_LANE
 
 
@@ -158,20 +157,28 @@ def compact_partition(
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(B * nh * nw, k * k, C)
     )
+    if not geom.has_edge:
+        return xf, None
+    R = geom.R_u
     parts = []
     if rw:
-        # (B, nh, k, rw, C) is already window-major row-major -> pure reshape
-        parts.append(x[:, :fh, fw:].reshape(B, nh * k * rw, C))
+        # (B, nh, k, rw, C) is already window-major row-major
+        parts.append(x[:, :fh, fw:].reshape(B, nh, k * rw, C))
     if rb:
         parts.append(
             x[:, fh:, :fw]
             .reshape(B, rb, nw, k, C)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(B, nw * rb * k, C)
+            .reshape(B, nw, rb * k, C)
         )
     if rb and rw:
-        parts.append(x[:, fh:, fw:].reshape(B, rb * rw, C))
-    xe = jnp.concatenate(parts, axis=1) if parts else None
+        parts.append(x[:, fh:, fw:].reshape(B, 1, rb * rw, C))
+    parts = [
+        jnp.pad(p, ((0, 0), (0, 0), (0, R - p.shape[2]), (0, 0)))
+        if p.shape[2] != R else p
+        for p in parts
+    ]
+    xe = jnp.concatenate(parts, axis=1).reshape(B, geom.E, C)
     return xf, xe
 
 
@@ -190,92 +197,126 @@ def compact_unpartition(
     )
     if xe is None:
         return full
+    R = geom.R_u
+    xe = xe.reshape(B, geom.n_edge, R, C)
     off = 0
     top, bot = full, None
     if rw:
-        right = xe[:, : nh * k * rw].reshape(B, fh, rw, C)
-        off += nh * k * rw
+        right = xe[:, : nh, : k * rw].reshape(B, fh, rw, C)
+        off += nh
         top = jnp.concatenate([full, right], axis=2)
     if rb:
         bottom = (
-            xe[:, off : off + nw * rb * k]
+            xe[:, off : off + nw, : rb * k]
             .reshape(B, nw, rb, k, C)
             .transpose(0, 2, 1, 3, 4)
             .reshape(B, rb, fw, C)
         )
-        off += nw * rb * k
+        off += nw
         bot = bottom
         if rw:
-            corner = xe[:, off:].reshape(B, rb, rw, C)
+            corner = xe[:, off, : rb * rw].reshape(B, rb, rw, C)
             bot = jnp.concatenate([bottom, corner], axis=2)
     return jnp.concatenate([top, bot], axis=1) if bot is not None else top
 
 
 @functools.lru_cache(maxsize=None)
-def _edge_sel_np(win: int, nr: int, nc: int) -> np.ndarray:
-    """(REL_LANES, nr*nc) scatter: lane a < win -> keys with kh == a, lane
-    win+b -> keys with kw == b (row/col-major key order). Rows >= 2*win stay
-    zero, so the Lpad lane never reaches real-key scores."""
-    n = nr * nc
-    kh = np.arange(n) // nc
-    kw = np.arange(n) % nc
-    sel = np.zeros((REL_LANES, n), np.float32)
-    for a in range(nr):
-        sel[a, kh == a] = 1.0
-    for b in range(nc):
-        sel[win + b, kw == b] = 1.0
-    return sel
+def _edge_consts_np(geom: CompactGeometry):
+    """Per-window kernel constants for the uniform edge layout:
+
+      sel     (n_edge, REL_LANES, R_u) — rel scatter (lane a < win -> keys
+              with kh == a, lane win+b -> kw == b); zero at dummy columns
+              AND at the LPAD_LANE row, so the Lpad lane never reaches
+              real-key scores.
+      kmask   (n_edge, 1, R_u)         — 0 at real keys, -1e30 at dummies.
+    """
+    win, R = geom.win, geom.R_u
+    sels, kmasks = [], []
+    for g in geom.edge_groups:
+        n = g.nr * g.nc
+        kh = np.arange(n) // g.nc
+        kw = np.arange(n) % g.nc
+        sel = np.zeros((REL_LANES, R), np.float32)
+        for a in range(g.nr):
+            sel[a, np.flatnonzero(kh == a)] = 1.0
+        for b in range(g.nc):
+            sel[win + b, np.flatnonzero(kw == b)] = 1.0
+        km = np.full((R,), NEG, np.float32)
+        km[:n] = 0.0
+        sels += [sel] * g.n
+        kmasks += [km] * g.n
+    return np.stack(sels), np.stack(kmasks)
 
 
-def edge_call_sel(geom: CompactGeometry, call: Tuple[EdgeGroup, ...], dtype):
-    """Per-window scatter constants for one kernel call: (n, REL_LANES, R)."""
-    mats = []
-    for g in call:
-        mats += [_edge_sel_np(geom.win, g.nr, g.nc)] * g.n
-    return jnp.asarray(np.stack(mats), dtype)
+def edge_consts(geom: CompactGeometry, dtype):
+    sel, km = _edge_consts_np(geom)
+    # kmask carries a unit mid-axis so its (1, R) blocks satisfy Mosaic's
+    # last-two-dims rule (a (1, R) block of an (n, R) array does not)
+    return jnp.asarray(sel, dtype), jnp.asarray(km[:, None, :], jnp.float32)
 
 
 def _lse(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
     """logsumexp over lane slice [lo, hi) of the trailing axis."""
+    import jax
+
     return jax.nn.logsumexp(x[..., lo:hi], axis=-1)
 
 
 def edge_rel_lpad(
-    q_edge: jnp.ndarray,     # (B, E, heads, hd) — UNSCALED queries
-    rcomb: jnp.ndarray,      # (win, win, hd, REL_LANES) combined rel table
-    k_bias: jnp.ndarray,     # (heads, hd) — k slice of the qkv bias
+    q_edge: jnp.ndarray,    # (B, E, heads, hd) — UNSCALED queries
+    rcomb: jnp.ndarray,     # (win, win, hd, REL_LANES) combined rel table
+    k_bias: jnp.ndarray,    # (heads, hd) — k slice of the qkv bias
     scale: float,
     geom: CompactGeometry,
 ) -> jnp.ndarray:
-    """Packed rel factors for the edge windows with the virtual-pad-key logit
-    written into lane LPAD_LANE. Returns (B, E, heads, REL_LANES) in q.dtype.
+    """Packed rel factors for the edge windows with the virtual-pad-key
+    logit in lane LPAD_LANE, (B, E, heads, REL_LANES).
 
-    Per edge window type the pad positions are a union of <=2 product sets
+    Per window type the pad positions are a union of <=2 product sets
     (kh range x kw range); `Lpad = logsumexp_t [ q.k_bias*scale
     + LSE(rel_h over kh_t) + LSE(rel_w over kw_t) ]` — exactly
-    `log sum_pad exp(s_pad)` of the reference's padded-window scores."""
+    `log sum_pad exp(s_pad)` of the reference's padded-window scores. The
+    lane is CONCATENATED in when rel is built (a post-hoc `.at[].set`
+    lowered to 24 ms/pass of dynamic-update-slices). Dummy rows (corner
+    padding) get zero rel; their outputs are discarded and their key
+    columns masked."""
     B, E, heads, hd = q_edge.shape
-    win = geom.win
+    win, R = geom.win, geom.R_u
     kb = k_bias.astype(q_edge.dtype)
+    q4 = q_edge.reshape(B, geom.n_edge, R, heads, hd)
     out = []
     off = 0
     for g in geom.edge_groups:
-        qp = q_edge[:, off : off + g.rows].reshape(B, g.n, g.nr, g.nc, heads, hd)
-        off += g.rows
-        rel = jnp.einsum("bnhwxc,hwcj->bnhwxj", qp, rcomb[: g.nr, : g.nc])
+        qp = q4[:, off : off + g.n, : g.rows].reshape(
+            B, g.n, g.nr, g.nc, heads, hd
+        )
+        off += g.n
+        rel = jnp.einsum(
+            "bnhwxc,hwcj->bnhwxj", qp, rcomb[: g.nr, : g.nc, :, :LPAD_LANE]
+        )
         qkb = jnp.einsum("bnhwxc,xc->bnhwx", qp, kb).astype(jnp.float32) * scale
         relf = rel.astype(jnp.float32)
         lp = None
         for (hlo, hhi, wlo, whi) in g.terms:
             t = qkb + _lse(relf, hlo, hhi) + _lse(relf, win + wlo, win + whi)
             lp = t if lp is None else jnp.logaddexp(lp, t)
-        rel = rel.at[..., LPAD_LANE].set(lp.astype(rel.dtype))
-        out.append(rel.reshape(B, g.rows, heads, REL_LANES))
-    return jnp.concatenate(out, axis=1)
+        rel = jnp.concatenate(
+            [
+                rel,
+                lp[..., None].astype(rel.dtype),
+                jnp.zeros(rel.shape[:-1] + (REL_LANES - LPAD_LANE - 1,), rel.dtype),
+            ],
+            axis=-1,
+        )
+        rel = rel.reshape(B, g.n, g.rows, heads, REL_LANES)
+        if g.rows != R:
+            rel = jnp.pad(rel, ((0, 0), (0, 0), (0, R - g.rows), (0, 0), (0, 0)))
+        out.append(rel)
+    return jnp.concatenate(out, axis=1).reshape(B, E, heads, REL_LANES)
 
 
 def edge_attention_literal(
-    qkv_edge: jnp.ndarray,   # (B, E, 3*heads*hd) — packed qkv of real tokens
+    qkv_edge: jnp.ndarray,   # (B, E, 3*heads*hd) — packed qkv (uniform layout)
     qkv_bias: jnp.ndarray,   # (3*heads*hd,) — fp32 qkv projection bias
     rel_pos_h: jnp.ndarray,  # (2*win-1, hd)
     rel_pos_w: jnp.ndarray,
@@ -285,24 +326,25 @@ def edge_attention_literal(
 ) -> jnp.ndarray:
     """Test oracle: reconstruct each padded window LITERALLY (pad k/v rows =
     qkv bias, exactly what the reference's zero-pad + qkv produces), run
-    dense rel-pos attention over all win^2 keys, return only real-query rows.
-    Output (B, heads, E, hd). Mirrors the reference block semantics
-    (`image_encoder.py:433-446`) without the compact factorisation — used to
-    verify the analytic virtual-pad-key path."""
+    dense rel-pos attention over all win^2 keys, return real-query rows with
+    dummy rows zeroed. Output (B, heads, E, hd). Mirrors the reference block
+    semantics (`image_encoder.py:433-446`) without the compact
+    factorisation — verifies the in-kernel virtual-pad-key path."""
     from .rel_pos import attention_with_decomposed_rel_pos
 
     B, E, _ = qkv_edge.shape
-    win = geom.win
+    win, R = geom.win, geom.R_u
     hd = qkv_edge.shape[-1] // (3 * heads)
     dt = qkv_edge.dtype
-    bias_row = qkv_bias.astype(dt)  # (3*heads*hd,)
+    bias_row = qkv_bias.astype(dt)
+    q4 = qkv_edge.reshape(B, geom.n_edge, R, -1)
     outs = []
     off = 0
     for g in geom.edge_groups:
-        rows = g.nr * g.nc
-        qkv_w = qkv_edge[:, off : off + g.rows].reshape(B, g.n, g.nr, g.nc, -1)
-        off += g.rows
-        # scatter real rows into the win x win window; pads = the bias row
+        qkv_w = q4[:, off : off + g.n, : g.rows].reshape(
+            B, g.n, g.nr, g.nc, -1
+        )
+        off += g.n
         pad = jnp.broadcast_to(bias_row, (B, g.n, win, win, bias_row.shape[0]))
         full = pad.at[:, :, : g.nr, : g.nc, :].set(qkv_w)
         full = full.reshape(B, g.n, win * win, 3, heads, hd)
@@ -311,9 +353,11 @@ def edge_attention_literal(
         v = jnp.moveaxis(full[..., 2, :, :], 3, 2)
         o = attention_with_decomposed_rel_pos(
             q, k, v, rel_pos_h, rel_pos_w, (win, win), scale
-        )  # (B, n, heads, win^2, hd)
+        )
         o = o.reshape(B, g.n, heads, win, win, hd)[:, :, :, : g.nr, : g.nc]
-        o = jnp.moveaxis(o, 2, 1).reshape(B, heads, g.n, g.nr * g.nc, hd)
-        # heads-leading, window-major real rows
-        outs.append(o.reshape(B, heads, g.rows, hd))
-    return jnp.concatenate(outs, axis=2)
+        o = o.reshape(B, g.n, heads, g.rows, hd)
+        if g.rows != R:
+            o = jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, R - g.rows), (0, 0)))
+        outs.append(jnp.moveaxis(o, 2, 1))  # (B, heads, n, R, hd)
+    out = jnp.concatenate(outs, axis=2)
+    return out.reshape(B, heads, E, hd)

@@ -298,10 +298,15 @@ def _qkv_packed_windows_kernel(scale, head_group, d, q_ref, k_ref, v_ref, rel_re
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(v.dtype)
-        o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (wg, Nw, d)
-        o_ref[0, h] = o.astype(o_ref.dtype)
+        # d-major output: o^T = v^T p^T issued directly as one dot (contract
+        # the key axis of both operands) and stored at sublane offset h*d —
+        # the head-leading layout's 80-lane minor padded to 128 in HBM
+        # (+60% bytes) and capped the consuming projection at ~114 TF/s
+        # (scripts/probe_dmajor.py)
+        ot = jax.lax.dot_general(
+            v, p, (((1,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (wg, d, Nw)
+        o_ref[0, :, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
 def flash_qkv_packed_windows(
@@ -321,8 +326,8 @@ def flash_qkv_packed_windows(
     batch-8 encoder pass. Here blocks slice 640-lane (= head_group*d) chunks
     of the raw 3840-lane tensor (640 % 128 == 0, so Mosaic-tileable with no
     physical padding), heads are peeled with static lane slices in VMEM, and
-    `win_group` windows ride the matmul batch dim. Output stays head-leading
-    (B, heads, nwin, Nw, d) for `proj_from_heads`.
+    `win_group` windows ride the matmul batch dim. Output is d-major
+    (B, nwin, heads*d, Nw) for `proj_rows` (no 80->128 lane pad in HBM).
     """
     B, nwin, Nw, _ = qkv.shape
     if heads % head_group != 0:
@@ -340,7 +345,10 @@ def flash_qkv_packed_windows(
         k = jnp.moveaxis(r[:, :, :, 1], 3, 1)
         v = jnp.moveaxis(r[:, :, :, 2], 3, 1)
         relh = jnp.moveaxis(rel.reshape(B, nwin, Nw, heads, 32), 3, 1)
-        return xla_attention_relpos(q, k, v, relh, sel32)
+        o = xla_attention_relpos(q, k, v, relh, sel32)  # (B, heads, nwin, Nw, d)
+        return jnp.moveaxis(o, 1, 2).transpose(0, 1, 2, 4, 3).reshape(
+            B, nwin, heads * d, Nw
+        )
 
     if gd % _LANE_ALIGN != 0 or _on_cpu():
         # The packed layout needs lane-aligned head-group slices; rather than
@@ -350,7 +358,7 @@ def flash_qkv_packed_windows(
 
     run = lambda qkv, rel, sel32: pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, heads, nwin, Nw, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nwin, heads * d, Nw), qkv.dtype),
         grid_spec=pl.GridSpec(
             grid=(B, nwin // win_group, n_hg),
             in_specs=[
@@ -364,8 +372,8 @@ def flash_qkv_packed_windows(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, head_group, win_group, Nw, d),
-                lambda b, w, g: (b, g, w, 0, 0),
+                (1, win_group, gd, Nw),
+                lambda b, w, g: (b, w, g, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -383,17 +391,22 @@ def flash_qkv_packed_windows(
 
 
 def _qkv_packed_edge_kernel(
-    scale, head_group, d, q_ref, k_ref, v_ref, rel_ref, sel_ref, vb_ref, o_ref
+    scale, head_group, d,
+    q_ref, k_ref, v_ref, rel_ref, sel_ref, vb_ref, km_ref, o_ref,
 ):
-    # Edge-window sibling of `_qkv_packed_windows_kernel`: the window's pad
-    # tokens are ONE virtual key per query — logit `Lpad` precomputed into
-    # rel lane LPAD_LANE (ops/compact_window.py), value = the v slice of the
-    # qkv bias (what the reference's zero-padded tokens produce). Softmax
-    # runs over [real keys | virtual pad key]; algebraically identical to
-    # the reference's softmax over the padded win^2 window.
+    # Edge-window sibling of `_qkv_packed_windows_kernel` for the compact
+    # pad-free layout (ops/compact_window.py): the window's pad tokens are
+    # ONE virtual key per query whose logit arrives in rel lane LPAD_LANE
+    # (computed in XLA at rel construction; computing it in-kernel cost
+    # 28 ms/pass of poorly-vectorised per-head masked reductions) and whose
+    # value is the v slice of the qkv bias. `km` masks the zero-filled dummy
+    # key columns of windows narrower than the uniform R. Softmax over
+    # [real keys | virtual pad key] == the reference's softmax over the
+    # padded win^2 window.
     from .compact_window import LPAD_LANE, REL_LANES
 
-    sel = sel_ref[0]  # (REL_LANES, R) — per-window scatter, Lpad row is zero
+    sel = sel_ref[0]   # (REL_LANES, R) — per-window scatter, Lpad row zero
+    km = km_ref[0]     # (1, R): 0 real / -1e30 dummy
     staged = []
     for h in range(head_group):
         q = q_ref[0, 0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
@@ -403,6 +416,7 @@ def _qkv_packed_edge_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (R, R)
         s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+        s += km
         lp = rel[:, LPAD_LANE : LPAD_LANE + 1].astype(jnp.float32)  # (R, 1)
         staged.append((s, lp))
     for h in range(head_group):
@@ -416,16 +430,25 @@ def _qkv_packed_edge_kernel(
         pp = jnp.exp(lp - m)  # virtual pad key's probability mass (R, 1)
         l = jnp.sum(p, axis=-1, keepdims=True) + pp
         p = (p / l).astype(v.dtype)
-        o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
-        o += (pp / l) * vb.astype(jnp.float32)
-        o_ref[0, h, 0] = o.astype(o_ref.dtype)
+        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
+        ot = jax.lax.dot_general(
+            v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (d, R)
+        # pad-value outer product as a K=1 dot (a (R,1)->(1,R) transpose
+        # would be a Mosaic relayout)
+        ot += jax.lax.dot_general(
+            vb.astype(jnp.float32)[:, None], pp / l,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
 def flash_qkv_packed_edge(
-    qkv: jnp.ndarray,   # (B, n, R, 3*heads*d) — packed qkv, real rows only
+    qkv: jnp.ndarray,   # (B, n, R, 3*heads*d) — packed qkv, uniform edge rows
     rel: jnp.ndarray,   # (B, n, R, heads*32) — rel factors + Lpad in lane 28
-    sel: jnp.ndarray,   # (n, 32, R) per-window scatter (compact_window.edge_call_sel)
+    sel: jnp.ndarray,   # (n, 32, R) per-window scatter (compact_window.edge_consts)
     vb: jnp.ndarray,    # (heads, d) — v slice of the qkv bias (pad value)
+    kmask: jnp.ndarray, # (n, 1, R) fp32: 0 real keys / -1e30 dummy columns
     scale: float,
     heads: int,
     d: int,
@@ -433,10 +456,11 @@ def flash_qkv_packed_edge(
 ) -> jnp.ndarray:
     """Partially-padded-window attention on the compact (pad-free) layout.
 
-    Each window has R = nr*nc REAL tokens; pad keys are folded into one
-    virtual key per query (see ops/compact_window.py). Output is
-    head-leading (B, heads, n, R, d) for `proj_from_heads`. Falls back to
-    the XLA formulation on CPU or Mosaic-unfriendly shapes."""
+    Each window has R uniform rows (real tokens + zero dummies for narrower
+    windows); pad keys are folded into one virtual key per query whose logit
+    rides rel lane LPAD_LANE (see ops/compact_window.py). Output is d-major
+    (B, n, heads*d, R) for `proj_rows`. Falls back to the XLA formulation on
+    CPU or Mosaic-unfriendly shapes."""
     from .compact_window import LPAD_LANE, REL_LANES
 
     B, n, R, _ = qkv.shape
@@ -445,7 +469,7 @@ def flash_qkv_packed_edge(
     n_hg = heads // head_group
     gd = head_group * d
 
-    def ref(qkv, rel, sel, vb):
+    def ref(qkv, rel, sel, vb, kmask):
         r = qkv.reshape(B, n, R, 3, heads, d)
         q = jnp.moveaxis(r[..., 0, :, :], 3, 1) * jnp.asarray(scale, qkv.dtype)
         k = jnp.moveaxis(r[..., 1, :, :], 3, 1)  # (B, heads, n, R, d)
@@ -456,6 +480,7 @@ def flash_qkv_packed_edge(
             "bhnqr,nrk->bhnqk", relh, sel.astype(relh.dtype),
             preferred_element_type=jnp.float32,
         )
+        s = s + kmask[None, None, :, 0][:, :, :, None, :]
         lp = relh[..., LPAD_LANE].astype(jnp.float32)[..., None]  # (B,h,n,R,1)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), lp)
         p = jnp.exp(s - m)
@@ -467,17 +492,20 @@ def flash_qkv_packed_edge(
         )
         vbh = vb.astype(jnp.float32)
         o = o + (pp / l) * vbh[None, :, None, None, :]
-        return o.astype(qkv.dtype)
+        o = o.astype(qkv.dtype)  # (B, heads, n, R, d) -> d-major
+        return jnp.moveaxis(o, 1, 2).transpose(0, 1, 2, 4, 3).reshape(
+            B, n, heads * d, R
+        )
 
     if gd % _LANE_ALIGN != 0 or R % 8 != 0 or _on_cpu():
-        return ref(qkv, rel, sel, vb)
+        return ref(qkv, rel, sel, vb, kmask)
 
     kernel = functools.partial(_qkv_packed_edge_kernel, scale, head_group, d)
     blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
 
-    run = lambda qkv, rel, sel, vb: pl.pallas_call(
+    run = lambda qkv, rel, sel, vb, kmask: pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, heads, n, R, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n, heads * d, R), qkv.dtype),
         grid_spec=pl.GridSpec(
             grid=(B, n, n_hg),
             in_specs=[
@@ -491,10 +519,12 @@ def flash_qkv_packed_edge(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((head_group, d), lambda b, w, g: (g, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R), lambda b, w, g: (w, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, head_group, 1, R, d),
-                lambda b, w, g: (b, g, w, 0, 0),
+                (1, 1, gd, R),
+                lambda b, w, g: (b, w, g, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -507,8 +537,8 @@ def flash_qkv_packed_edge(
             bytes_accessed=qkv.size * 2 + rel.size * 2,
             transcendentals=B * heads * n * R * R,
         ),
-    )(qkv, qkv, qkv, rel, sel, vb)
-    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel, vb)
+    )(qkv, qkv, qkv, rel, sel, vb, kmask)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel, vb, kmask)
 
 
 def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
@@ -526,9 +556,11 @@ def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(v.dtype)
-        o_ref[0, h] = jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
+        ot = jax.lax.dot_general(
+            v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (d, S)
+        o_ref[0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
 def flash_qkv_packed_plain(
@@ -541,7 +573,7 @@ def flash_qkv_packed_plain(
     """No-bias sibling of `flash_qkv_packed_windows` for the CLIP towers.
 
     Requires (head_group * d) % 128 == 0 (CLIP ViT-L: 8 heads x 64 = 512).
-    Output is head-leading (B, heads, S, d) for `proj_from_heads`.
+    Output is d-major (B, heads*d, S) for `proj_rows`.
     """
     B, S, _ = qkv.shape
     if heads % head_group != 0:
@@ -558,16 +590,17 @@ def flash_qkv_packed_plain(
         v = jnp.moveaxis(r[:, :, 2], 2, 1)
         s = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum(
+        o = jnp.einsum(
             "bhqk,bhkc->bhqc", p, v, preferred_element_type=jnp.float32
-        ).astype(v.dtype)
+        ).astype(v.dtype)  # (B, heads, S, d) -> d-major
+        return o.transpose(0, 1, 3, 2).reshape(B, heads * d, S)
 
     if gd % _LANE_ALIGN != 0 or _on_cpu():
         return ref(qkv)  # lane alignment contract (see flash_qkv_packed_windows)
 
     run = lambda qkv: pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, heads, S, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, heads * d, S), qkv.dtype),
         grid_spec=pl.GridSpec(
             grid=(B, n_hg),
             in_specs=[
@@ -576,7 +609,7 @@ def flash_qkv_packed_plain(
                 pl.BlockSpec((1, S, gd), blk(2), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, head_group, S, d), lambda b, g: (b, g, 0, 0),
+                (1, gd, S), lambda b, g: (b, g, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -611,9 +644,11 @@ def _qkv_packed_global_kernel(scale, head_group, d, hw, q_ref, k_ref, v_ref, rel
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         p = (p / l).astype(v.dtype)
-        o_ref[0, h] = jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
+        ot = jax.lax.dot_general(
+            v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (d, block_q)
+        o_ref[0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
 def flash_qkv_packed_global(
@@ -632,7 +667,7 @@ def flash_qkv_packed_global(
     XLA-side (B,N,3,heads,d) transpose + 80->128 pad of q/k/v (measured
     ~15 ms/pass at batch 8 for the 4 global blocks). Requires
     (head_group * d) % 128 == 0 and hw % 128 == 0 (ViT-H global: d=80,
-    head_group=8, hw=128). Output is head-leading (B, heads, N, d).
+    head_group=8, hw=128). Output is d-major (B, heads*d, N) for `proj_rows`.
     """
     B, N, _ = qkv.shape
     hw = sel.shape[0]
@@ -649,7 +684,8 @@ def flash_qkv_packed_global(
         k = jnp.moveaxis(r[:, :, 1], 2, 1)
         v = jnp.moveaxis(r[:, :, 2], 2, 1)
         relh = jnp.moveaxis(rel.reshape(B, N, heads, hw), 2, 1)
-        return xla_attention_relpos(q, k, v, relh, sel)
+        o = xla_attention_relpos(q, k, v, relh, sel)  # (B, heads, N, d)
+        return o.transpose(0, 1, 3, 2).reshape(B, heads * d, N)
 
     if gd % _LANE_ALIGN != 0 or hw % _LANE_ALIGN != 0 or _on_cpu():
         return ref(qkv, rel, sel)
@@ -659,7 +695,7 @@ def flash_qkv_packed_global(
 
     run = lambda qkv, rel, sel: pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, heads, N, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, heads * d, N), qkv.dtype),
         grid_spec=pl.GridSpec(
             grid=(B, n_hg, N // block_q),
             in_specs=[
@@ -675,7 +711,7 @@ def flash_qkv_packed_global(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, head_group, block_q, d), lambda b, g, i: (b, g, i, 0),
+                (1, gd, block_q), lambda b, g, i: (b, g, i),
                 memory_space=pltpu.VMEM,
             ),
         ),

@@ -405,6 +405,105 @@ def ln_mlp_residual_bt(
     return pallas_with_xla_vjp(run, ref)(x, gamma, beta, w1, b1, w2, b2)
 
 
+def _proj_rows_kernel(x_ref, w_ref, b_ref, o_ref):
+    # x (1, 1, K, bs) d-major; out (1, 1, bs, C) row-major
+    acc = jax.lax.dot_general(
+        x_ref[0, 0], w_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bs, C)
+    acc += b_ref[:].astype(jnp.float32)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def _proj_rows_res_kernel(x_ref, w_ref, b_ref, r_ref, o_ref):
+    acc = jax.lax.dot_general(
+        x_ref[0, 0], w_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += b_ref[:].astype(jnp.float32) + r_ref[0, 0].astype(jnp.float32)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def _proj_rows_ref(x, w, b, res=None):
+    acc = jnp.einsum("btks,ko->btso", x, w, preferred_element_type=jnp.float32)
+    acc = acc + b.astype(jnp.float32)
+    if res is not None:
+        acc = acc + res.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def proj_rows(
+    x: jnp.ndarray,             # (B, T, K, S) — d-major attention output
+    w: jnp.ndarray,             # (K, out)
+    b: jnp.ndarray,             # (1, out)
+    res: jnp.ndarray = None,    # (B, T, S, out) — optional residual
+    block_s: int = 1024,
+) -> jnp.ndarray:
+    """out[b, t, s, :] = x[b, t, :, s] @ w + bias (+ res) -> (B, T, S, out).
+
+    Consumes the attention kernels' d-major (heads*d sublane-packed) output:
+    the head-leading 5D layout's 80-lane minor physically pads to 128 in HBM
+    (+60% bytes) and capped `proj_from_heads` at ~114 TF/s; the packed-row
+    layout reads contiguously and contracts the full K=heads*d dim per MXU
+    pass (measured 2.2x faster at ViT-H windowed shapes,
+    scripts/probe_dmajor.py)."""
+    B, T, K, S = x.shape
+    out = w.shape[-1]
+
+    def ref(*a):
+        return _proj_rows_ref(*a)
+
+    if _on_cpu():
+        return ref(x, w, b) if res is None else ref(x, w, b, res)
+
+    bs = block_s if (S % block_s == 0 and S > block_s) else S
+    if res is None:
+        kernel, args = _proj_rows_kernel, (x, w, b)
+        in_specs = [
+            pl.BlockSpec((1, 1, K, bs), lambda b_, t, s: (b_, t, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, out), lambda b_, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out), lambda b_, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        kernel, args = _proj_rows_res_kernel, (x, w, b, res)
+        in_specs = [
+            pl.BlockSpec((1, 1, K, bs), lambda b_, t, s: (b_, t, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, out), lambda b_, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out), lambda b_, t, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, out), lambda b_, t, s: (b_, t, s, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    run = lambda *a: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, T, S, out), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, T, S // bs),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, bs, out), lambda b_, t, s: (b_, t, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * S * K * out,
+            bytes_accessed=(x.size + (2 if res is not None else 1) * B * T * S * out)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*a)
+    return pallas_with_xla_vjp(run, ref)(*args)
+
+
 def _proj_kernel(heads, x_ref, w_ref, b_ref, o_ref):
     # x: (1, heads, 1, S, d); w: (heads, d, out) — reads index LEADING axes
     acc = b_ref[:].astype(jnp.float32)  # (1, out) broadcasts over S

@@ -128,7 +128,10 @@ def kernel_checks():
         k = jnp.moveaxis(r[:, :, :, 1], 3, 1)
         v = jnp.moveaxis(r[:, :, :, 2], 3, 1)
         relh = jnp.moveaxis(rel.reshape(8, nwin, Nw, 16, 32), 3, 1)
-        return fa.xla_attention_relpos(q, k, v, relh, sel32)
+        o = fa.xla_attention_relpos(q, k, v, relh, sel32)
+        return jnp.moveaxis(o, 1, 2).transpose(0, 1, 2, 4, 3).reshape(
+            8, nwin, 16 * 80, Nw
+        )
 
     record("flash_qkv_packed_windows", got, jax.jit(win_ref)(qkv, rel), 1e-4)
 
@@ -146,7 +149,8 @@ def kernel_checks():
         k = jnp.moveaxis(r[:, :, 1], 2, 1)
         v = jnp.moveaxis(r[:, :, 2], 2, 1)
         relh = jnp.moveaxis(rel.reshape(2, Ng, 16, 128), 2, 1)
-        return fa.xla_attention_relpos(q, k, v, relh, sel_g)
+        o = fa.xla_attention_relpos(q, k, v, relh, sel_g)
+        return o.transpose(0, 1, 3, 2).reshape(2, 16 * 80, Ng)
 
     record("flash_qkv_packed_global", got, jax.jit(glob_ref)(qkv_g, rel_g), 1e-4)
 
@@ -165,31 +169,37 @@ def kernel_checks():
     def edge_run(qkv_e):
         q_e = qkv_e[:, :, :dim].reshape(8, geom.E, heads, d)
         rcomb = make_rcomb(14, 14, relh_t, relw_t, qkv_e.dtype)
-        rel_lp = cw.edge_rel_lpad(
+        rel_e = cw.edge_rel_lpad(
             q_e, rcomb, bias_e[dim : 2 * dim].reshape(heads, d), scale, geom
         )
-        vb = bias_e[2 * dim :].astype(dt).reshape(heads, d)
-        outs, off = [], 0
-        for call in geom.call_groups:
-            n = sum(x.n for x in call)
-            R = call[0].nr * call[0].nc
-            rows = n * R
-            o = fa.flash_qkv_packed_edge(
-                qkv_e[:, off : off + rows].reshape(8, n, R, 3 * dim),
-                rel_lp[:, off : off + rows].reshape(8, n, R, heads * cw.REL_LANES),
-                cw.edge_call_sel(geom, call, qkv_e.dtype),
-                vb, scale, heads, d,
-            )
-            outs.append(o.reshape(8, heads, rows, d))
-            off += rows
-        return jnp.concatenate(outs, axis=2)
+        sel, kmask = cw.edge_consts(geom, qkv_e.dtype)
+        o = fa.flash_qkv_packed_edge(
+            qkv_e.reshape(8, geom.n_edge, geom.R_u, 3 * dim),
+            rel_e.reshape(8, geom.n_edge, geom.R_u, heads * cw.REL_LANES),
+            sel,
+            bias_e[2 * dim :].astype(dt).reshape(heads, d),
+            kmask, scale, heads, d,
+        )  # (B, n, heads*d, R) d-major
+        return (
+            o.reshape(8, geom.n_edge, heads, d, geom.R_u)
+            .transpose(0, 2, 1, 4, 3)
+            .reshape(8, heads, geom.E, d)
+        )
 
-    got = jax.jit(edge_run)(qkv_e)
+    import numpy as _np
+
+    realrows = _np.zeros((geom.n_edge, geom.R_u), bool)
+    _off = 0
+    for _g in geom.edge_groups:
+        realrows[_off : _off + _g.n, : _g.rows] = True
+        _off += _g.n
+    realrows = realrows.reshape(-1)
+    got = jax.jit(edge_run)(qkv_e)[:, :, realrows]  # head-leading rows
     want = jax.jit(
         lambda q: cw.edge_attention_literal(
             q, bias_e, relh_t, relw_t, scale, heads, geom
         )
-    )(qkv_e)
+    )(qkv_e)[:, :, realrows]
     # literal padded-window oracle = different formulation -> bf16/MXU
     # rounding dominates; semantic bound only
     record("flash_qkv_packed_edge (semantic)", got, want, 1e-2)
@@ -204,8 +214,9 @@ def kernel_checks():
         v = jnp.moveaxis(r[:, :, 2], 2, 1)
         s = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum("bhqk,bhkc->bhqc", p, v,
-                          preferred_element_type=jnp.float32).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkc->bhqc", p, v,
+                       preferred_element_type=jnp.float32).astype(v.dtype)
+        return o.transpose(0, 1, 3, 2).reshape(8, 16 * 64, 581)
 
     record("flash_qkv_packed_plain", got, jax.jit(plain_ref)(qkv_c), 1e-4)
 

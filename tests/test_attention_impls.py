@@ -181,6 +181,9 @@ def _interp(monkeypatch):
         return orig(*args, **kw)
 
     monkeypatch.setattr(fa.pl, "pallas_call", interp)
+    # defeat the CPU->XLA-reference fallback so interpret mode exercises the
+    # REAL kernel bodies on CPU
+    monkeypatch.setattr(fa, "_on_cpu", lambda: False)
 
 
 def _qkv_oracle(qkv, rel, sel, heads, d, scale):
@@ -259,8 +262,10 @@ def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch, heads, head_g
     got = fa.flash_qkv_packed_windows(
         jnp.asarray(qkv), rel_p.reshape(B, nwin, N, heads * 32), sel32,
         scale, heads, d, head_group=head_group,
-    )  # (B, heads, nwin, N, d)
-    got = jnp.moveaxis(got, 1, 3).reshape(B, nwin, N, heads * d)
+    )  # (B, nwin, heads*d, N) — d-major
+    got = got.reshape(B, nwin, heads, d, N).transpose(0, 1, 4, 2, 3).reshape(
+        B, nwin, N, heads * d
+    )
     want = _qkv_oracle(
         jnp.asarray(qkv), jnp.asarray(rel).reshape(B, nwin, N, heads * hw),
         sel, heads, d, scale,
@@ -277,7 +282,8 @@ def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch, heads, head_gro
     scale = d ** -0.5
     got = fa.flash_qkv_packed_plain(
         jnp.asarray(qkv), scale, heads, d, head_group=head_group
-    )  # (B, heads, L, d)
+    )  # (B, heads*d, L) — d-major
+    got = got.reshape(B, heads, d, L).transpose(0, 1, 3, 2)
 
     def split(i):
         t = qkv[..., i * heads * d : (i + 1) * heads * d].reshape(B, L, heads, d)
@@ -310,8 +316,8 @@ def test_flash_qkv_packed_global_matches_oracle(rng, monkeypatch, heads, head_gr
     got = fa.flash_qkv_packed_global(
         jnp.asarray(qkv), jnp.asarray(rel), sel, scale, heads, d,
         block_q=32, head_group=head_group,
-    )  # (B, heads, N, d)
-    got = jnp.moveaxis(got, 1, 2).reshape(B, N, heads * d)
+    )  # (B, heads*d, N) — d-major
+    got = got.reshape(B, heads, d, N).transpose(0, 3, 1, 2).reshape(B, N, heads * d)
     want = _qkv_oracle(jnp.asarray(qkv), jnp.asarray(rel), sel, heads, d, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 

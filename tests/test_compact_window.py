@@ -24,7 +24,7 @@ from camouflaged_vlm_tpu.ops.compact_window import (
     compact_partition,
     compact_unpartition,
     edge_attention_literal,
-    edge_call_sel,
+    edge_consts,
     edge_rel_lpad,
 )
 from camouflaged_vlm_tpu.ops.flash_attention import flash_qkv_packed_edge
@@ -33,10 +33,10 @@ from camouflaged_vlm_tpu.ops.flash_attention import flash_qkv_packed_edge
 def test_geometry_vith():
     g = CompactGeometry(64, 64, 14)
     assert (g.nh, g.nw, g.rb, g.rw) == (4, 4, 8, 8)
-    assert g.n_full == 16 and g.E == 960
-    assert [grp.rows for grp in g.edge_groups] == [448, 448, 64]
-    # right (4x112) and bottom (4x112) merge into one kernel call
-    assert [sum(x.n for x in c) for c in g.call_groups] == [8, 1]
+    assert g.n_full == 16
+    # 4 right + 4 bottom (112 real rows) + corner (64 real, padded to 112)
+    assert (g.n_edge, g.R_u, g.E) == (9, 112, 1008)
+    assert [grp.rows for grp in g.edge_groups] == [112, 112, 64]
 
 
 @pytest.mark.parametrize("H,W,win", [(64, 64, 14), (5, 5, 2), (7, 5, 3), (4, 4, 2)])
@@ -52,10 +52,20 @@ def test_partition_roundtrip(H, W, win):
     np.testing.assert_array_equal(compact_unpartition(xf, xe, g), x)
 
 
+def _real_row_mask(g):
+    """(E,) bool: real (non-dummy) rows of the uniform edge layout."""
+    m = np.zeros((g.n_edge, g.R_u), bool)
+    off = 0
+    for grp in g.edge_groups:
+        m[off : off + grp.n, : grp.rows] = True
+        off += grp.n
+    return m.reshape(-1)
+
+
 @pytest.mark.parametrize("H,W,win", [(64, 64, 14), (5, 5, 2), (7, 5, 3)])
 def test_edge_attention_analytic_vs_literal(H, W, win):
-    """The virtual-pad-key factorisation must equal literally materialising
-    the padded window with bias-valued pad k/v rows."""
+    """The in-kernel virtual-pad-key factorisation must equal literally
+    materialising the padded window with bias-valued pad k/v rows."""
     g = CompactGeometry(H, W, win)
     heads, hd = 4, 8
     dim = heads * hd
@@ -71,26 +81,25 @@ def test_edge_attention_analytic_vs_literal(H, W, win):
 
     q_e = qkv_e[:, :, :dim].reshape(B, g.E, heads, hd)
     rcomb = make_rcomb(win, win, rel_h, rel_w, jnp.float32)
-    rel_lp = edge_rel_lpad(
+    rel_e = edge_rel_lpad(
         q_e, rcomb, bias[dim : 2 * dim].reshape(heads, hd), scale, g
     )
-    vb = bias[2 * dim :].reshape(heads, hd)
-    outs = []
-    off = 0
-    for call in g.call_groups:
-        n = sum(x.n for x in call)
-        R = call[0].nr * call[0].nc
-        rows = n * R
-        o = flash_qkv_packed_edge(
-            qkv_e[:, off : off + rows].reshape(B, n, R, 3 * dim),
-            rel_lp[:, off : off + rows].reshape(B, n, R, heads * REL_LANES),
-            edge_call_sel(g, call, jnp.float32),
-            vb, scale, heads, hd,
-        )
-        outs.append(o.reshape(B, heads, rows, hd))
-        off += rows
-    got = jnp.concatenate(outs, axis=2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    sel, kmask = edge_consts(g, jnp.float32)
+    got = flash_qkv_packed_edge(
+        qkv_e.reshape(B, g.n_edge, g.R_u, 3 * dim),
+        rel_e.reshape(B, g.n_edge, g.R_u, heads * REL_LANES),
+        sel, bias[2 * dim :].reshape(heads, hd),
+        kmask, scale, heads, hd,
+    )  # (B, n, heads*hd, R) d-major -> head-leading rows for comparison
+    got = (
+        got.reshape(B, g.n_edge, heads, hd, g.R_u)
+        .transpose(0, 2, 1, 4, 3)
+        .reshape(B, heads, g.E, hd)
+    )
+    real = _real_row_mask(g)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, real], np.asarray(want)[:, :, real], atol=2e-5
+    )
 
 
 @pytest.mark.parametrize("img", [64, 80])
