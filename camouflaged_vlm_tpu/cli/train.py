@@ -93,6 +93,15 @@ def main():
                 process_id=args.process_id,
             )
         jax.distributed.initialize(**kw)
+        # Establish the cross-process collective context NOW, while every
+        # rank is seconds from initialize: the first collective's transport
+        # setup has a short (~30 s) key-value-exchange timeout, and the first
+        # natural collective sits behind a minutes-long model compile whose
+        # duration can skew between ranks (observed under CPU load: Gloo
+        # "GetKeyValue timed out", killing the laggard's peer).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("camouflaged_vlm_tpu:init")
     # Rank gating: epoch lines / tensorboard / meta json are process-0-only;
     # checkpoint saves stay ALL-process (orbax coordinates the write
     # internally — gating them would deadlock a multi-host save).
@@ -188,7 +197,12 @@ def main():
             f"continuing at epoch {start_epoch} (best mae {best_mae})"
         )
 
-    train_step = jax.jit(make_train_step(model, tx, loss_mode=args.loss))
+    # Donate the state: without it every step holds TWO copies of
+    # params+optimizer (ViT-H + AdamW moments is multi-GB), which OOMs the
+    # full-size config on a single v5e chip.
+    train_step = jax.jit(
+        make_train_step(model, tx, loss_mode=args.loss), donate_argnums=(0,)
+    )
 
     batch_shard = NamedSharding(mesh, P("data", None, None, None))
     from ..parallel import make_replicated_array

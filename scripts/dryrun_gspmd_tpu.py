@@ -52,7 +52,9 @@ def main():
     params = shard_params(mesh, params)
     tx = make_optimizer(params)
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(model, tx))
+    # donate_argnums: without donation the step holds old+new copies of
+    # params+optimizer, which RESOURCE_EXHAUSTs the chip on step 1.
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
     batch_shard = NamedSharding(mesh, P("data", None, None, None))
     repl = NamedSharding(mesh, P())

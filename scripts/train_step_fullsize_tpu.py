@@ -37,7 +37,7 @@ def main():
 
     tx = make_optimizer(params)
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(model, tx))
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     batch = {

@@ -134,7 +134,9 @@ def test_two_process_train_matches_single_process(synthetic_dataset, tmp_path):
     _wait_all(procs, timeout=1500)
     outs = [p.read_text() for p in logs]
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
+        assert p.returncode == 0, "\n== rank0 ==\n%s\n== rank1 ==\n%s" % (
+            outs[0][-2000:], outs[1][-2000:],
+        )
     # rank gating: epoch lines from process 0 only
     assert "epoch 1/1" in outs[0]
     assert "epoch 1/1" not in outs[1]
