@@ -53,6 +53,7 @@ from ..ops.flash_attention import (
     flash_attention_relpos,
     flash_qkv_packed_global,
     flash_qkv_packed_windows,
+    flash_qkv_packed_windows_s,
     flash_qkv_relpos_windows,
     make_rel_scatter,
     xla_attention_relpos,
@@ -231,26 +232,51 @@ def rel_and_scatter(q_heads, rel_pos_h, rel_pos_w, H, W):
     return rel, make_rel_scatter(H, W, dtype=q_heads.dtype)
 
 
-def make_rcomb(H, W, rel_pos_h, rel_pos_w, dt):
-    """Combined per-(qh, qw) rel-pos table (H, W, hd, 32): lane j < H holds
+def make_rcomb(H, W, rel_pos_h, rel_pos_w, dt, lanes=32):
+    """Combined per-(qh, qw) rel-pos table (H, W, hd, lanes): lane j < H holds
     Rh[qh, j], lanes H..H+W-1 hold Rw[qw, j-H], the rest zero — one einsum
-    with it emits the flash kernels' packed [rel_h | rel_w | 0] layout."""
-    assert H + W <= 32, (H, W)
+    with it emits the flash kernels' packed [rel_h | rel_w | 0] layout.
+    Windowed callers use lanes=32; the global blocks pass lanes=H+W (128 for
+    ViT-H, an 84 MB transient per block — cheaper than the two-einsum +
+    concat + pad chain it replaces, which cost ~12 ms/iter of copies)."""
+    assert H + W <= lanes, (H, W, lanes)
     Rh = get_rel_pos_table(H, H, rel_pos_h).astype(dt)  # (H, kh, hd)
     Rw = get_rel_pos_table(W, W, rel_pos_w).astype(dt)  # (W, kw, hd)
     hd = Rh.shape[-1]
-    return jnp.concatenate(
-        [
-            jnp.broadcast_to(
-                jnp.transpose(Rh, (0, 2, 1))[:, None], (H, W, hd, H)
-            ),
-            jnp.broadcast_to(
-                jnp.transpose(Rw, (0, 2, 1))[None, :], (H, W, hd, W)
-            ),
-            jnp.zeros((H, W, hd, 32 - H - W), dt),
-        ],
-        axis=-1,
-    )  # (H, W, hd, 32)
+    parts = [
+        jnp.broadcast_to(
+            jnp.transpose(Rh, (0, 2, 1))[:, None], (H, W, hd, H)
+        ),
+        jnp.broadcast_to(
+            jnp.transpose(Rw, (0, 2, 1))[None, :], (H, W, hd, W)
+        ),
+    ]
+    if lanes > H + W:
+        parts.append(jnp.zeros((H, W, hd, lanes - H - W), dt))
+    return jnp.concatenate(parts, axis=-1)  # (H, W, hd, lanes)
+
+
+def rel_smajor_global(q_heads, rel_pos_h, rel_pos_w, H, W):
+    """Position-major packed rel factors for the global blocks.
+
+    q_heads: (B, H, W, heads, hd) UNSCALED queries. Returns
+    (rel_s (H*W, B, heads, H+W), sel (H+W, H*W)) with
+    bias[q, k] = (rel_s[q] @ sel)[k] — the SAME factors as
+    `rel_and_scatter`, but emitted in the batched-matmul's NATURAL layout
+    (contraction batch = query position), which is exactly what
+    `flash_qkv_packed_global` v2 consumes: no transposing copy, no concat,
+    no lane pad (the old chain cost ~12 ms/iter at batch 8 —
+    scripts/probe_relv2.py measured the swap at -1.4 ms per global block,
+    bit-exact)."""
+    B = q_heads.shape[0]
+    heads = q_heads.shape[3]
+    rcg = make_rcomb(
+        H, W, rel_pos_h, rel_pos_w, q_heads.dtype, lanes=H + W
+    )  # (H, W, hd, H+W)
+    rel_s = jnp.einsum("bhwnc,hwcj->hwbnj", q_heads, rcg).reshape(
+        H * W, B, heads, H + W
+    )
+    return rel_s, make_rel_scatter(H, W, dtype=q_heads.dtype)
 
 
 def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
@@ -272,6 +298,38 @@ def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
     sel = make_rel_scatter(H, W, dtype=q_heads.dtype)
     sel32 = jnp.pad(sel, ((0, 32 - H - W), (0, 0)))
     return rel, sel32
+
+
+def rel_smajor_windows(qkv_flat, rel_pos_h, rel_pos_w, win, heads, hd,
+                       head_group=8):
+    """Position-major packed rel for the windowed blocks.
+
+    qkv_flat: (BW, S, 3*heads*hd) raw qkv projection (UNSCALED q in the
+    leading lanes). Returns (rel_s (S, BW, heads*32), sel32 (32, S)) — the
+    same [rel_h | rel_w | 0] per-head packing as `rel_packed32`, but in the
+    rel einsum's NATURAL batched-matmul layout (contraction batch = window
+    position), consumed directly by `flash_qkv_packed_windows_s`. The trick:
+    the per-position (hd, 32) combined table is lifted to a block-diagonal
+    kron(I_hg, Rcomb[s]) (S, hg*hd, hg*32) so ONE einsum against tile-aligned
+    640-lane q slices emits all heads' lanes already packed — no transposing
+    copy, no merge reshape (together ~13 ms/iter at batch 8;
+    scripts/probe_relv2.py: 4.30 -> 3.88 ms per block end-to-end)."""
+    S = win * win
+    dim = heads * hd
+    if heads % head_group != 0:
+        head_group = heads
+    ghd = head_group * hd
+    n_g = dim // ghd
+    rc = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_flat.dtype).reshape(
+        S, hd, 32
+    )
+    eye = jnp.eye(head_group, dtype=qkv_flat.dtype)
+    rblk = jax.vmap(lambda r: jnp.kron(eye, r))(rc)  # (S, ghd, hg*32)
+    q2 = qkv_flat[:, :, :dim].reshape(-1, S, n_g, ghd)
+    rel_s = jnp.einsum("wsgc,scj->swgj", q2, rblk).reshape(S, -1, heads * 32)
+    sel = make_rel_scatter(win, win, dtype=qkv_flat.dtype)
+    sel32 = jnp.pad(sel, ((0, 32 - 2 * win), (0, 0)))
+    return rel_s, sel32
 
 
 class Attention(nn.Module):
@@ -318,13 +376,12 @@ class Attention(nn.Module):
         qkv_f = ln_linear_act_bt(
             xf, g1[None], be1[None], wqc, bqc, eps=1e-6, activation=None
         )  # (B*nf, S, 3*dim)
-        qh = qkv_f[:, :, :dim].reshape(B * nf, win, win, heads, hd)
-        rel_p, sel32 = rel_packed32(qh, rel_pos_h, rel_pos_w, win, win)
-        out_f = flash_qkv_packed_windows(
-            qkv_f.reshape(B, nf, S, 3 * dim),
-            rel_p.reshape(B, nf, S, heads * 32),
-            sel32, scale, heads, hd,
-        )  # (B, heads, nf, S, hd)
+        rel_s, sel32 = rel_smajor_windows(
+            qkv_f, rel_pos_h, rel_pos_w, win, heads, hd
+        )
+        out_f = flash_qkv_packed_windows_s(
+            qkv_f, rel_s, sel32, scale, heads, hd,
+        ).reshape(B, nf, dim, S)  # d-major for proj_rows
         yf = proj(out_f, xf.reshape(B, nf, S, dim)).reshape(B * nf, S, dim)
         if xe is None:
             return yf, None
@@ -437,13 +494,13 @@ class Attention(nn.Module):
                 # Global blocks (4 of 32): packed-lane q-tiled kernel straight
                 # off the qkv projection — no (B,N,3,heads,d) transpose and no
                 # 80->128 lane pad in HBM (those cost ~15 ms/pass at batch 8).
-                # rel (B,H,W,heads,H+W) -> (B,N,heads*(H+W)) is a free lane
-                # collapse when (H+W) % 128 == 0 (ViT-H global: 64+64).
-                rel, sel = rel_and_scatter(qh, rel_pos_h, rel_pos_w, H, W)
+                # rel arrives position-major (N, B, heads, H+W): the rel
+                # einsum's natural batched-matmul layout, consumed directly
+                # by the kernel (scripts/probe_relv2.py: -1.4 ms/block vs the
+                # two-einsum + concat + pad + transpose chain, bit-exact).
+                rel_s, sel = rel_smajor_global(qh, rel_pos_h, rel_pos_w, H, W)
                 out = flash_qkv_packed_global(
-                    qkv3d,
-                    rel.reshape(B, N, self.num_heads * (H + W)),
-                    sel, scale, self.num_heads, head_dim,
+                    qkv3d, rel_s, sel, scale, self.num_heads, head_dim,
                 )  # (B, heads*hd, N) — d-major
                 out = out.reshape(B, 1, self.num_heads * head_dim, N)
             # the attention output goes straight into the projection kernel

@@ -390,8 +390,133 @@ def flash_qkv_packed_windows(
     return pallas_with_xla_vjp(run, ref)(qkv, rel, sel32)
 
 
+def _qkv_packed_windows_s_kernel(
+    scale, head_group, d, wb, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref
+):
+    # s-major sibling of `_qkv_packed_windows_kernel`: rel arrives
+    # POSITION-major (Nw, wb, head_group*32) — the layout the kron-table rel
+    # einsum emits natively (see `rel_smajor_windows`), so the pathological
+    # 32-lane transposing copy + merge reshape the window-major layout cost
+    # (~13 ms/iter at batch 8) never materialises. `wb` windows per program
+    # amortise the per-program grid stalls; within each window all head score
+    # dots are staged before any softmax+pv (MXU/VPU overlap, see the
+    # window-major kernel).
+    sel = sel_ref[:]  # (32, Nw)
+    for wi in range(wb):
+        scores = []
+        for h in range(head_group):
+            q = q_ref[0, wi][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+            k = k_ref[0, wi][:, h * d : (h + 1) * d]   # (Nw, d)
+            rel = rel_ref[:, wi, h * 32 : (h + 1) * 32]  # (Nw, 32) sublane select
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (Nw, Nw)
+            s += jax.lax.dot(
+                rel.astype(q.dtype), sel, preferred_element_type=jnp.float32
+            )
+            scores.append(s)
+        for h in range(head_group):
+            v = v_ref[0, wi][:, h * d : (h + 1) * d]
+            s = scores[h]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(v.dtype)
+            # d-major output (see _qkv_packed_windows_kernel)
+            ot = jax.lax.dot_general(
+                v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (d, Nw)
+            o_ref[0, wi, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
+
+
+def flash_qkv_packed_windows_s(
+    qkv: jnp.ndarray,    # (BW, Nw, 3*heads*d) — flat windows, raw Dense out
+    rel_s: jnp.ndarray,  # (Nw, BW, heads*32) — POSITION-major packed rel
+    sel32: jnp.ndarray,  # (32, Nw): make_rel_scatter padded with zero rows
+    scale: float,
+    heads: int,
+    d: int,
+    head_group: int = 8,
+    win_block: int = 8,
+) -> jnp.ndarray:
+    """`flash_qkv_packed_windows` with position-major rel (scripts/
+    probe_relv2.py: 4.30 -> 3.88 ms per ViT-H windowed block at batch 8,
+    err 1e-3 ~ bf16 rounding).
+
+    The window-major rel layout forced XLA to transpose the rel einsum's
+    natural (S, BW, lanes) output into (BW, S, lanes) — an 8.5 ms
+    pathological 32-lane-minor copy plus a 4.7 ms merge reshape per encoder
+    pass. Here the kernel consumes the einsum's native layout: rel blocks
+    are (Nw, win_block, head_group*32) sublane-selected per window. The
+    sublane dim (win_block) must be a multiple of 8 for tiling — callers
+    gate on BW % win_block == 0. Output is d-major (BW, heads*d, Nw)."""
+    BW, Nw, _ = qkv.shape
+    if heads % head_group != 0:
+        head_group = heads
+    n_hg = heads // head_group
+    gd = head_group * d
+
+    def ref(qkv, rel_s, sel32):
+        r = qkv.reshape(BW, Nw, 3, heads, d)
+        q = jnp.moveaxis(r[:, :, 0], 2, 1) * jnp.asarray(scale, qkv.dtype)
+        k = jnp.moveaxis(r[:, :, 1], 2, 1)
+        v = jnp.moveaxis(r[:, :, 2], 2, 1)  # (BW, heads, Nw, d)
+        relh = rel_s.reshape(Nw, BW, heads, 32).transpose(1, 2, 0, 3)
+        o = xla_attention_relpos(q, k, v, relh, sel32)  # (BW, heads, Nw, d)
+        return o.transpose(0, 1, 3, 2).reshape(BW, heads * d, Nw)
+
+    if gd % _LANE_ALIGN != 0 or BW % win_block != 0 or _on_cpu():
+        return ref(qkv, rel_s, sel32)
+
+    nb = BW // win_block
+    kernel = functools.partial(
+        _qkv_packed_windows_s_kernel, scale, head_group, d, win_block
+    )
+    blk = lambda role: (lambda b, g: (b, 0, 0, role * n_hg + g))
+
+    run = lambda qkv, rel_s, sel32: pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, win_block, heads * d, Nw), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(nb, n_hg),
+            in_specs=[
+                pl.BlockSpec((1, win_block, Nw, gd), blk(0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_block, Nw, gd), blk(1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, win_block, Nw, gd), blk(2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Nw, win_block, head_group * 32),
+                             lambda b, g: (0, b, g), memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, Nw), lambda b, g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, win_block, gd, Nw), lambda b, g: (b, 0, g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BW * heads * Nw * Nw * (2 * d + 32),
+            bytes_accessed=qkv.size * 2 + rel_s.size * 2,
+            transcendentals=BW * heads * Nw * Nw,
+        ),
+    )(
+        qkv.reshape(nb, win_block, Nw, 3 * heads * d),
+        qkv.reshape(nb, win_block, Nw, 3 * heads * d),
+        qkv.reshape(nb, win_block, Nw, 3 * heads * d),
+        rel_s,
+        sel32,
+    ).reshape(BW, heads * d, Nw)
+    return pallas_with_xla_vjp(run, ref)(qkv, rel_s, sel32)
+
+
 def _qkv_packed_edge_kernel(
-    scale, head_group, d,
+    scale, head_group, d, n,
     q_ref, k_ref, v_ref, rel_ref, sel_ref, vb_ref, km_ref, o_ref,
 ):
     # Edge-window sibling of `_qkv_packed_windows_kernel` for the compact
@@ -402,45 +527,60 @@ def _qkv_packed_edge_kernel(
     # value is the v slice of the qkv bias. `km` masks the zero-filled dummy
     # key columns of windows narrower than the uniform R. Softmax over
     # [real keys | virtual pad key] == the reference's softmax over the
-    # padded win^2 window.
+    # padded win^2 window. All n edge windows ride the dot batch dim in ONE
+    # program per (batch, head group) — measured 7% faster than one program
+    # per window (scripts/probe_attn_v3.py: per-program stalls dominate at
+    # R=112).
     from .compact_window import LPAD_LANE, REL_LANES
 
-    sel = sel_ref[0]   # (REL_LANES, R) — per-window scatter, Lpad row zero
-    km = km_ref[0]     # (1, R): 0 real / -1e30 dummy
+    sel = sel_ref[:]   # (n, REL_LANES, R) — per-window scatter, Lpad row zero
+    km = km_ref[:]     # (n, 1, R): 0 real / -1e30 dummy
     staged = []
     for h in range(head_group):
-        q = q_ref[0, 0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
-        k = k_ref[0, 0][:, h * d : (h + 1) * d]  # (R, d)
-        rel = rel_ref[0, 0][:, h * REL_LANES : (h + 1) * REL_LANES]  # (R, 32)
+        q = q_ref[0][:, :, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
+        k = k_ref[0][:, :, h * d : (h + 1) * d]  # (n, R, d)
+        rel = rel_ref[0][:, :, h * REL_LANES : (h + 1) * REL_LANES]  # (n, R, 32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (R, R)
-        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (n, R, R)
+        s += jax.lax.dot_general(
+            rel, sel.astype(rel.dtype), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         s += km
-        lp = rel[:, LPAD_LANE : LPAD_LANE + 1].astype(jnp.float32)  # (R, 1)
+        lp = rel[:, :, LPAD_LANE : LPAD_LANE + 1].astype(jnp.float32)  # (n, R, 1)
         staged.append((s, lp))
     for h in range(head_group):
-        v = v_ref[0, 0][:, h * d : (h + 1) * d]
+        v = v_ref[0][:, :, h * d : (h + 1) * d]  # (n, R, d)
         vb = vb_ref[h]  # (d,) pad-token value (sublane-indexed: lane-offset
         #                  slices of a packed bias fail Mosaic's broadcast
         #                  relayout at fp32)
         s, lp = staged[h]
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), lp)
         p = jnp.exp(s - m)
-        pp = jnp.exp(lp - m)  # virtual pad key's probability mass (R, 1)
+        pp = jnp.exp(lp - m)  # virtual pad key's probability mass (n, R, 1)
         l = jnp.sum(p, axis=-1, keepdims=True) + pp
-        p = (p / l).astype(v.dtype)
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
         ot = jax.lax.dot_general(
-            v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (d, R)
-        # pad-value outer product as a K=1 dot (a (R,1)->(1,R) transpose
-        # would be a Mosaic relayout)
-        ot += jax.lax.dot_general(
-            vb.astype(jnp.float32)[:, None], pp / l,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            v, p.astype(v.dtype), (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (n, d, R)
+        # pad-value outer product as a batched K=1 dot (a (n,R,1)->(n,1,R)
+        # transpose would be a Mosaic relayout)
+        vbn = jnp.broadcast_to(
+            vb.astype(jnp.float32)[None, :, None], ot.shape[:2] + (1,)
         )
-        o_ref[0, 0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
+        ot += jax.lax.dot_general(
+            vbn, pp, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # fold 1/l into the (n, d, R) output columns: 1/d as many divides as
+        # normalising the (n, R, R) probability matrix
+        inv = 1.0 / l  # (n, R, 1)
+        inv_row = jax.lax.dot_general(
+            jnp.ones((inv.shape[0], 1, 1), jnp.float32), inv,
+            (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )  # (n, 1, R)
+        o_ref[0, :, h * d : (h + 1) * d, :] = (ot * inv_row).astype(o_ref.dtype)
 
 
 def flash_qkv_packed_edge(
@@ -500,37 +640,37 @@ def flash_qkv_packed_edge(
     if gd % _LANE_ALIGN != 0 or R % 8 != 0 or _on_cpu():
         return ref(qkv, rel, sel, vb, kmask)
 
-    kernel = functools.partial(_qkv_packed_edge_kernel, scale, head_group, d)
-    blk = lambda role: (lambda b, w, g: (b, w, 0, role * n_hg + g))
+    kernel = functools.partial(_qkv_packed_edge_kernel, scale, head_group, d, n)
+    blk = lambda role: (lambda b, g: (b, 0, 0, role * n_hg + g))
 
     run = lambda qkv, rel, sel, vb, kmask: pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, n, heads * d, R), qkv.dtype),
         grid_spec=pl.GridSpec(
-            grid=(B, n, n_hg),
+            grid=(B, n_hg),
             in_specs=[
-                pl.BlockSpec((1, 1, R, gd), blk(0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, R, gd), blk(1), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, R, gd), blk(2), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, R, head_group * REL_LANES),
-                             lambda b, w, g: (b, w, 0, g),
+                pl.BlockSpec((1, n, R, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, R, gd), blk(1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, R, gd), blk(2), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, R, head_group * REL_LANES),
+                             lambda b, g: (b, 0, 0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, REL_LANES, R), lambda b, w, g: (w, 0, 0),
+                pl.BlockSpec((n, REL_LANES, R), lambda b, g: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((head_group, d), lambda b, w, g: (g, 0),
+                pl.BlockSpec((head_group, d), lambda b, g: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, R), lambda b, w, g: (w, 0, 0),
+                pl.BlockSpec((n, 1, R), lambda b, g: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, gd, R),
-                lambda b, w, g: (b, w, g, 0),
+                (1, n, gd, R),
+                lambda b, g: (b, 0, g, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * n * R * R * (2 * d + REL_LANES),
@@ -629,13 +769,14 @@ def flash_qkv_packed_plain(
 def _qkv_packed_global_kernel(scale, head_group, d, hw, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
     # Packed-lane global attention: q/k/v arrive as raw lane slices of the
     # qkv projection (no 5D head view -> no 80->128 lane-pad copy in HBM);
-    # rel arrives packed (block_q, head_group*hw) with hw lane-aligned.
+    # rel arrives position-major (block_q, 1, head_group, hw) — the rel
+    # einsum's natural layout — and heads are sublane-selected.
     sel = sel_ref[:]  # (hw, N)
     for h in range(head_group):
         q = q_ref[0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
         k = k_ref[0][:, h * d : (h + 1) * d]   # (N, d)
         v = v_ref[0][:, h * d : (h + 1) * d]
-        rel = rel_ref[0][:, h * hw : (h + 1) * hw]  # (block_q, hw)
+        rel = rel_ref[:, 0, h, :]  # (block_q, hw) — sublane select
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, N)
@@ -653,7 +794,7 @@ def _qkv_packed_global_kernel(scale, head_group, d, hw, q_ref, k_ref, v_ref, rel
 
 def flash_qkv_packed_global(
     qkv: jnp.ndarray,   # (B, N, 3*heads*d) — bitcast view of the qkv projection
-    rel: jnp.ndarray,   # (B, N, heads*hw) — [rel_h | rel_w] per head, hw % 128 == 0
+    rel: jnp.ndarray,   # (N, B, heads, hw) — position-major [rel_h | rel_w]
     sel: jnp.ndarray,   # (hw, N) from make_rel_scatter
     scale: float,
     heads: int,
@@ -665,9 +806,13 @@ def flash_qkv_packed_global(
 
     Replaces the `flash_attention_relpos` production path, which needed an
     XLA-side (B,N,3,heads,d) transpose + 80->128 pad of q/k/v (measured
-    ~15 ms/pass at batch 8 for the 4 global blocks). Requires
-    (head_group * d) % 128 == 0 and hw % 128 == 0 (ViT-H global: d=80,
-    head_group=8, hw=128). Output is d-major (B, heads*d, N) for `proj_rows`.
+    ~15 ms/pass at batch 8 for the 4 global blocks). `rel` arrives
+    POSITION-major — `rel_smajor_global`'s einsum emits that layout
+    natively, so no transposing copy ever materialises (the old
+    (B, N, heads*hw) layout cost ~12 ms/iter of XLA relayout chain;
+    scripts/probe_relv2.py). Requires (head_group * d) % 128 == 0 and
+    hw % 128 == 0 (ViT-H global: d=80, head_group=8, hw=128). Output is
+    d-major (B, heads*d, N) for `proj_rows`.
     """
     B, N, _ = qkv.shape
     hw = sel.shape[0]
@@ -683,7 +828,7 @@ def flash_qkv_packed_global(
         q = jnp.moveaxis(r[:, :, 0], 2, 1) * jnp.asarray(scale, qkv.dtype)
         k = jnp.moveaxis(r[:, :, 1], 2, 1)
         v = jnp.moveaxis(r[:, :, 2], 2, 1)
-        relh = jnp.moveaxis(rel.reshape(B, N, heads, hw), 2, 1)
+        relh = rel.transpose(1, 2, 0, 3)  # (B, heads, N, hw)
         o = xla_attention_relpos(q, k, v, relh, sel)  # (B, heads, N, d)
         return o.transpose(0, 1, 3, 2).reshape(B, heads * d, N)
 
@@ -704,8 +849,8 @@ def flash_qkv_packed_global(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, N, gd), lambda b, g, i: (b, 0, 2 * n_hg + g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, head_group * hw),
-                             lambda b, g, i: (b, i, g),
+                pl.BlockSpec((block_q, 1, head_group, hw),
+                             lambda b, g, i: (i, b, g, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((hw, N), lambda b, g, i: (0, 0),
                              memory_space=pltpu.VMEM),

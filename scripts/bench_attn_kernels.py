@@ -216,7 +216,7 @@ def main():
     N = 4096
     hw = 128
     qkv_g = jnp.asarray(rng.standard_normal((B, N, 3 * heads * d)) * 0.1, jnp.bfloat16)
-    rel_g = jnp.asarray(rng.standard_normal((B, N, heads * hw)) * 0.1, jnp.bfloat16)
+    rel_g = jnp.asarray(rng.standard_normal((N, B, heads, hw)) * 0.1, jnp.bfloat16)  # s-major (rel-v2)
     sel_g = fa.make_rel_scatter(64, 64)
     for bq, hg in [(512, 8), (1024, 8), (512, 4), (512, 16)]:
         f = jax.jit(lambda q, r, bq=bq, hg=hg: fa.flash_qkv_packed_global(

@@ -288,7 +288,7 @@ def main():
 
     # ---------------- C. global: stagger + divfold ----------------
     qkv_g = jnp.asarray(rng.standard_normal((B, NG, 3 * DIM)) * 0.05, jnp.bfloat16)
-    rel_g = jnp.asarray(rng.standard_normal((B, NG, HEADS * HW)) * 0.05, jnp.bfloat16)
+    rel_g = jnp.asarray(rng.standard_normal((NG, B, HEADS, HW)) * 0.05, jnp.bfloat16)  # s-major (rel-v2)
     sel_g = jnp.asarray((rng.random((HW, NG)) > 0.5), jnp.bfloat16)
 
     f_cur = jax.jit(functools.partial(

@@ -135,9 +135,29 @@ def kernel_checks():
 
     record("flash_qkv_packed_windows", got, jax.jit(win_ref)(qkv, rel), 1e-4)
 
+    BW = 128
+    qkv_s = jnp.asarray(rng.standard_normal((BW, Nw, 3 * 16 * 80)) * 0.2, dt)
+    rel_sm = jnp.asarray(rng.standard_normal((Nw, BW, 16 * 32)) * 0.1, dt)
+    got = jax.jit(
+        lambda q, r: fa.flash_qkv_packed_windows_s(q, r, sel32, scale, 16, 80)
+    )(qkv_s, rel_sm)
+
+    def win_s_ref(qkv, rel_s):
+        r = qkv.reshape(BW, Nw, 3, 16, 80)
+        q = jnp.moveaxis(r[:, :, 0], 2, 1) * scale
+        k = jnp.moveaxis(r[:, :, 1], 2, 1)
+        v = jnp.moveaxis(r[:, :, 2], 2, 1)
+        relh = rel_s.reshape(Nw, BW, 16, 32).transpose(1, 2, 0, 3)
+        o = fa.xla_attention_relpos(q, k, v, relh, sel32)
+        return o.transpose(0, 1, 3, 2).reshape(BW, 16 * 80, Nw)
+
+    record(
+        "flash_qkv_packed_windows_s", got, jax.jit(win_s_ref)(qkv_s, rel_sm), 1e-4
+    )
+
     Ng = 4096
     qkv_g = jnp.asarray(rng.standard_normal((2, Ng, 3 * 16 * 80)) * 0.2, dt)
-    rel_g = jnp.asarray(rng.standard_normal((2, Ng, 16 * 128)) * 0.05, dt)
+    rel_g = jnp.asarray(rng.standard_normal((Ng, 2, 16, 128)) * 0.05, dt)
     sel_g = fa.make_rel_scatter(64, 64)
     got = jax.jit(
         lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, 16, 80)
@@ -148,7 +168,7 @@ def kernel_checks():
         q = jnp.moveaxis(r[:, :, 0], 2, 1) * scale
         k = jnp.moveaxis(r[:, :, 1], 2, 1)
         v = jnp.moveaxis(r[:, :, 2], 2, 1)
-        relh = jnp.moveaxis(rel.reshape(2, Ng, 16, 128), 2, 1)
+        relh = rel.transpose(1, 2, 0, 3)  # (B, heads, N, hw)
         o = fa.xla_attention_relpos(q, k, v, relh, sel_g)
         return o.transpose(0, 1, 3, 2).reshape(2, 16 * 80, Ng)
 

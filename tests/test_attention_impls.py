@@ -274,6 +274,59 @@ def test_flash_qkv_packed_windows_matches_oracle(rng, monkeypatch, heads, head_g
 
 
 @pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
+def test_flash_qkv_packed_windows_s_matches_oracle(rng, monkeypatch, heads, head_group):
+    """Position-major-rel windows kernel == the unpacked oracle. BW=16 with
+    win_block=8 exercises the two-program grid; the rel arrives (N, BW,
+    heads*32) as `rel_smajor_windows` emits it."""
+    _interp(monkeypatch)
+    H = W = 4
+    BW, d = 16, 64
+    N = H * W
+    hw = H + W
+    qkv = rng.standard_normal((BW, N, 3 * heads * d)).astype(np.float32) * 0.3
+    rel = (rng.standard_normal((BW, N, heads, hw)) * 0.1).astype(np.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    scale = d ** -0.5
+    rel_p = jnp.pad(jnp.asarray(rel), ((0, 0),) * 3 + ((0, 32 - hw),))
+    rel_s = rel_p.reshape(BW, N, heads * 32).transpose(1, 0, 2)
+    sel32 = jnp.pad(sel, ((0, 32 - hw), (0, 0)))
+    got = fa.flash_qkv_packed_windows_s(
+        jnp.asarray(qkv), rel_s, sel32, scale, heads, d,
+        head_group=head_group,
+    )  # (BW, heads*d, N) — d-major
+    got = got.reshape(BW, heads, d, N).transpose(0, 3, 1, 2).reshape(
+        BW, N, heads * d
+    )
+    want = _qkv_oracle(
+        jnp.asarray(qkv), jnp.asarray(rel).reshape(BW, N, heads * hw),
+        sel, heads, d, scale,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_rel_smajor_windows_matches_rel_packed32(rng):
+    """The kron-table s-major rel builder emits the SAME per-head packed
+    factors as rel_packed32, transposed to position-major."""
+    from camouflaged_vlm_tpu.models.sam_encoder import (
+        rel_packed32, rel_smajor_windows,
+    )
+
+    win, heads, hd = 4, 4, 16
+    BW, S = 6, win * win
+    qkv = jnp.asarray(
+        rng.standard_normal((BW, S, 3 * heads * hd)).astype(np.float32)
+    )
+    rph = jnp.asarray((rng.standard_normal((2 * win - 1, hd)) * 0.1).astype(np.float32))
+    rpw = jnp.asarray((rng.standard_normal((2 * win - 1, hd)) * 0.1).astype(np.float32))
+    qh = qkv[:, :, : heads * hd].reshape(BW, win, win, heads, hd)
+    want, sel32_w = rel_packed32(qh, rph, rpw, win, win)
+    want = want.reshape(BW, S, heads * 32).transpose(1, 0, 2)
+    got, sel32 = rel_smajor_windows(qkv, rph, rpw, win, heads, hd, head_group=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sel32), np.asarray(sel32_w))
+
+
+@pytest.mark.parametrize("heads,head_group", [(2, 2), (4, 2)])
 def test_flash_qkv_packed_plain_matches_oracle(rng, monkeypatch, heads, head_group):
     """Plain packed-qkv attention kernel (CLIP path) == standard attention."""
     _interp(monkeypatch)
@@ -313,8 +366,9 @@ def test_flash_qkv_packed_global_matches_oracle(rng, monkeypatch, heads, head_gr
     rel = (rng.standard_normal((B, N, heads * hw)) * 0.1).astype(np.float32)
     sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
     scale = d ** -0.5
+    rel_s = jnp.asarray(rel).reshape(B, N, heads, hw).transpose(1, 0, 2, 3)
     got = fa.flash_qkv_packed_global(
-        jnp.asarray(qkv), jnp.asarray(rel), sel, scale, heads, d,
+        jnp.asarray(qkv), rel_s, sel, scale, heads, d,
         block_q=32, head_group=head_group,
     )  # (B, heads*d, N) — d-major
     got = got.reshape(B, heads, d, N).transpose(0, 3, 1, 2).reshape(B, N, heads * d)
