@@ -29,6 +29,7 @@ def main():
     import jax.numpy as jnp
 
     from camouflaged_vlm_tpu.factory import (
+        attach_rel_cache,
         build_full_cascade,
         make_bank_inputs,
         make_example_inputs,
@@ -45,6 +46,8 @@ def main():
         lambda p: p.astype(dtype) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
         params,
     )
+    # Hoist the param-derived rel-pos tables out of the per-batch program.
+    params = attach_rel_cache(params, cfg)
 
     # Class-split text features are image-independent: encode once, not per
     # batch (the reference reruns the text tower every image).

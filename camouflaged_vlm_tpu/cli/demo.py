@@ -71,6 +71,9 @@ def main():
         dtype=dtype,
         tiny=args.tiny,
     )
+    from ..factory import attach_rel_cache
+
+    params = attach_rel_cache(params, cfg)
 
     img = Image.open(args.image).convert("RGB")
     orig = np.asarray(img)

@@ -50,7 +50,14 @@ def evaluate(
     class (the reference debug entry's `pre_cls = gt_cls` bypass,
     `debug_ovcos_maskdecoder_edge.py:111`) — isolates segmentation quality
     from classification."""
+    from ..factory import attach_rel_cache
+
     classnames = index.classes
+    # Params are fixed for the whole eval: hoist the param-derived rel-pos
+    # tables out of the per-batch program (fresh per call, so in-training
+    # validation always caches the CURRENT rel_pos params).
+    if "relcache" not in params:
+        params = attach_rel_cache(params, cfg)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

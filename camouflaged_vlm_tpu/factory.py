@@ -90,3 +90,18 @@ def init_cascade_params(model: OVCOSCascade, cfg: CascadeConfig, bank, batch: in
         jax.random.PRNGKey(seed), inp, cimg, cmask,
         bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"],
     )
+
+
+def attach_rel_cache(params: dict, cfg: CascadeConfig) -> dict:
+    """Add the precomputed 'relcache' collection (param-derived rel-pos
+    tables) to a cascade variables dict for INFERENCE — building them inside
+    the forward cost ~18 ms/iter at batch 8 (see
+    `models.sam_encoder.precompute_rel_tables`). Training must NOT use this
+    (the tables would go stale as rel_pos params update)."""
+    from .models.sam_encoder import precompute_rel_tables
+
+    enc = params["params"]["image_encoder"]
+    cache = jax.jit(
+        lambda p: precompute_rel_tables(cfg.encoder, p)
+    )(enc)
+    return {**params, "relcache": {"image_encoder": cache}}

@@ -256,7 +256,7 @@ def make_rcomb(H, W, rel_pos_h, rel_pos_w, dt, lanes=32):
     return jnp.concatenate(parts, axis=-1)  # (H, W, hd, lanes)
 
 
-def rel_smajor_global(q_heads, rel_pos_h, rel_pos_w, H, W):
+def rel_smajor_global(q_heads, rel_pos_h, rel_pos_w, H, W, rcg=None):
     """Position-major packed rel factors for the global blocks.
 
     q_heads: (B, H, W, heads, hd) UNSCALED queries. Returns
@@ -267,15 +267,18 @@ def rel_smajor_global(q_heads, rel_pos_h, rel_pos_w, H, W):
     `flash_qkv_packed_global` v2 consumes: no transposing copy, no concat,
     no lane pad (the old chain cost ~12 ms/iter at batch 8 —
     scripts/probe_relv2.py measured the swap at -1.4 ms per global block,
-    bit-exact)."""
+    bit-exact). `rcg` takes the precomputed combined table (see
+    `precompute_rel_tables` — it is param-derived, so inference hoists its
+    construction out of the per-batch program)."""
     B = q_heads.shape[0]
     heads = q_heads.shape[3]
-    rcg = make_rcomb(
-        H, W, rel_pos_h, rel_pos_w, q_heads.dtype, lanes=H + W
-    )  # (H, W, hd, H+W)
-    rel_s = jnp.einsum("bhwnc,hwcj->hwbnj", q_heads, rcg).reshape(
-        H * W, B, heads, H + W
-    )
+    if rcg is None:
+        rcg = make_rcomb(
+            H, W, rel_pos_h, rel_pos_w, q_heads.dtype, lanes=H + W
+        )  # (H, W, hd, H+W)
+    rel_s = jnp.einsum(
+        "bhwnc,hwcj->hwbnj", q_heads, rcg.astype(q_heads.dtype)
+    ).reshape(H * W, B, heads, H + W)
     return rel_s, make_rel_scatter(H, W, dtype=q_heads.dtype)
 
 
@@ -300,8 +303,19 @@ def rel_packed32(q_heads, rel_pos_h, rel_pos_w, H, W):
     return rel, sel32
 
 
+def make_rblk(win, rel_pos_h, rel_pos_w, hd, dt, head_group=8):
+    """Block-diagonal kron(I_hg, Rcomb[s]) table (S, hg*hd, hg*32) for the
+    windowed s-major rel einsum. Param-derived only — 15.7 ms/iter of the
+    batch-8 trace was spent re-materialising it every forward, so inference
+    precomputes it once (`precompute_rel_tables`)."""
+    S = win * win
+    rc = make_rcomb(win, win, rel_pos_h, rel_pos_w, dt).reshape(S, hd, 32)
+    eye = jnp.eye(head_group, dtype=dt)
+    return jax.vmap(lambda r: jnp.kron(eye, r))(rc)  # (S, ghd, hg*32)
+
+
 def rel_smajor_windows(qkv_flat, rel_pos_h, rel_pos_w, win, heads, hd,
-                       head_group=8):
+                       head_group=8, rblk=None):
     """Position-major packed rel for the windowed blocks.
 
     qkv_flat: (BW, S, 3*heads*hd) raw qkv projection (UNSCALED q in the
@@ -313,23 +327,64 @@ def rel_smajor_windows(qkv_flat, rel_pos_h, rel_pos_w, win, heads, hd,
     kron(I_hg, Rcomb[s]) (S, hg*hd, hg*32) so ONE einsum against tile-aligned
     640-lane q slices emits all heads' lanes already packed — no transposing
     copy, no merge reshape (together ~13 ms/iter at batch 8;
-    scripts/probe_relv2.py: 4.30 -> 3.88 ms per block end-to-end)."""
+    scripts/probe_relv2.py: 4.30 -> 3.88 ms per block end-to-end). `rblk`
+    takes the precomputed table (`precompute_rel_tables`)."""
     S = win * win
     dim = heads * hd
     if heads % head_group != 0:
         head_group = heads
     ghd = head_group * hd
     n_g = dim // ghd
-    rc = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_flat.dtype).reshape(
-        S, hd, 32
-    )
-    eye = jnp.eye(head_group, dtype=qkv_flat.dtype)
-    rblk = jax.vmap(lambda r: jnp.kron(eye, r))(rc)  # (S, ghd, hg*32)
+    if rblk is None:
+        rblk = make_rblk(win, rel_pos_h, rel_pos_w, hd, qkv_flat.dtype,
+                         head_group)
     q2 = qkv_flat[:, :, :dim].reshape(-1, S, n_g, ghd)
-    rel_s = jnp.einsum("wsgc,scj->swgj", q2, rblk).reshape(S, -1, heads * 32)
+    rel_s = jnp.einsum(
+        "wsgc,scj->swgj", q2, rblk.astype(qkv_flat.dtype)
+    ).reshape(S, -1, heads * 32)
     sel = make_rel_scatter(win, win, dtype=qkv_flat.dtype)
     sel32 = jnp.pad(sel, ((0, 32 - 2 * win), (0, 0)))
     return rel_s, sel32
+
+
+def precompute_rel_tables(cfg, encoder_params):
+    """Param-derived rel-pos tables for inference ('relcache' collection).
+
+    The combined rel tables (`make_rcomb` / `make_rblk`) depend ONLY on the
+    rel_pos_{h,w} params, but being built inside the forward they cost
+    ~18 ms/iter at batch 8 (the kron table alone traced at 15.7 ms). For
+    fixed weights (eval/bench/demo) build them ONCE here and pass
+    `{'relcache': {'image_encoder': <this>}}` alongside 'params' to
+    `model.apply` — `Attention` picks them up via `get_variable` and skips
+    the in-program build. Training keeps the in-program path (the tables
+    must track the updating rel_pos params).
+
+    encoder_params: the ENCODER's param subtree (params['params']
+    ['image_encoder']). Returns {'block_i': {'attn': {...}}}.
+    """
+    dt = cfg.dtype
+    hd = cfg.embed_dim // cfg.num_heads
+    win = cfg.window_size
+    # must match rel_smajor_windows' head grouping exactly
+    hg = 8 if cfg.num_heads % 8 == 0 else cfg.num_heads
+    out = {}
+    for i in range(cfg.depth):
+        bp = encoder_params.get(f"block_{i}")
+        if bp is None or "attn" not in bp or "rel_pos_h" not in bp["attn"]:
+            continue
+        rh = jnp.asarray(bp["attn"]["rel_pos_h"])
+        rw = jnp.asarray(bp["attn"]["rel_pos_w"])
+        if win > 0 and i not in cfg.global_attn_indexes:
+            out[f"block_{i}"] = {"attn": {
+                "rblk": make_rblk(win, rh, rw, hd, dt, head_group=hg),
+                "rcomb": make_rcomb(win, win, rh, rw, dt),
+            }}
+        else:
+            g = cfg.grid
+            out[f"block_{i}"] = {"attn": {
+                "rcg": make_rcomb(g, g, rh, rw, dt, lanes=2 * g),
+            }}
+    return out
 
 
 class Attention(nn.Module):
@@ -348,6 +403,13 @@ class Attention(nn.Module):
     attn_impl: str = "aug_flash"
     num_windows: int = 1  # windows folded into the batch dim (set by Block)
     geom: Optional[CompactGeometry] = None  # compact (pad-free) window layout
+
+    def _rel_cache(self, name):
+        """Precomputed rel table from the optional 'relcache' collection
+        (see `precompute_rel_tables`); None -> build in-program."""
+        if self.has_variable("relcache", name):
+            return self.get_variable("relcache", name)
+        return None
 
     def _compact_call(self, xf, xe, ln):
         """Compact-layout windowed attention: x_full (B*n_full, win^2, C)
@@ -377,7 +439,8 @@ class Attention(nn.Module):
             xf, g1[None], be1[None], wqc, bqc, eps=1e-6, activation=None
         )  # (B*nf, S, 3*dim)
         rel_s, sel32 = rel_smajor_windows(
-            qkv_f, rel_pos_h, rel_pos_w, win, heads, hd
+            qkv_f, rel_pos_h, rel_pos_w, win, heads, hd,
+            rblk=self._rel_cache("rblk"),
         )
         out_f = flash_qkv_packed_windows_s(
             qkv_f, rel_s, sel32, scale, heads, hd,
@@ -391,7 +454,10 @@ class Attention(nn.Module):
             block_s=504,  # divides E=1008 (ViT-H); bounds the fp32 accumulator
         )  # (B, E, 3*dim)
         q_e = qkv_e[:, :, :dim].reshape(B, geom.E, heads, hd)
-        rcomb = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_e.dtype)
+        rcomb = self._rel_cache("rcomb")
+        if rcomb is None:
+            rcomb = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_e.dtype)
+        rcomb = rcomb.astype(qkv_e.dtype)
         rel_e = edge_rel_lpad(
             q_e, rcomb, bq[dim : 2 * dim].reshape(heads, hd), scale, geom
         )  # (B, E, heads, 32) with the virtual-pad-key logit in lane 28
@@ -498,9 +564,17 @@ class Attention(nn.Module):
                 # einsum's natural batched-matmul layout, consumed directly
                 # by the kernel (scripts/probe_relv2.py: -1.4 ms/block vs the
                 # two-einsum + concat + pad + transpose chain, bit-exact).
-                rel_s, sel = rel_smajor_global(qh, rel_pos_h, rel_pos_w, H, W)
+                # by the kernel; the separable bias itself is rebuilt on the
+                # VPU from transposed score tiles (scripts/probe_gbias.py).
+                rcg = self._rel_cache("rcg")
+                if rcg is not None and rcg.shape[:2] != (H, W):
+                    rcg = None  # cache built for a different input size
+                rel_s, sel = rel_smajor_global(
+                    qh, rel_pos_h, rel_pos_w, H, W, rcg=rcg
+                )
                 out = flash_qkv_packed_global(
                     qkv3d, rel_s, sel, scale, self.num_heads, head_dim,
+                    H=H, W=W,
                 )  # (B, heads*hd, N) — d-major
                 out = out.reshape(B, 1, self.num_heads * head_dim, N)
             # the attention output goes straight into the projection kernel

@@ -766,28 +766,46 @@ def flash_qkv_packed_plain(
     return pallas_with_xla_vjp(run, ref)(qkv)
 
 
-def _qkv_packed_global_kernel(scale, head_group, d, hw, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):
+def _qkv_packed_global_kernel(scale, head_group, d, H, W, q_ref, k_ref, v_ref, rel_ref, o_ref):
     # Packed-lane global attention: q/k/v arrive as raw lane slices of the
     # qkv projection (no 5D head view -> no 80->128 lane-pad copy in HBM);
     # rel arrives position-major (block_q, 1, head_group, hw) — the rel
     # einsum's natural layout — and heads are sublane-selected.
-    sel = sel_ref[:]  # (hw, N)
+    #
+    # The separable rel bias (bias[q, k] = Bh[q, kh] + Bw[q, kw], k = kh*W+kw)
+    # is built on the VPU instead of the old rel(bq,hw) @ sel(hw,N) MXU dot —
+    # which was MORE MXU work than the q@k score dot itself (K=128 vs K=80,
+    # ~44% of the block's FLOPs at ViT-H shapes). Scores are computed
+    # TRANSPOSED, sT (N, block_q) = k q^T: in that orientation the bias is
+    # sublane-structured, so two broadcasts of the transposed rel tile build
+    # it without any MXU pass (scripts/probe_gbias.py: 15.8 -> 13.5 ms per
+    # ViT-H global block at batch 8; err 1.2e-3 ~ MXU accumulation order of
+    # the transposed dots).
+    N = k_ref.shape[1]
+    block_q = q_ref.shape[1]
     for h in range(head_group):
         q = q_ref[0][:, h * d : (h + 1) * d] * jnp.asarray(scale, q_ref.dtype)
         k = k_ref[0][:, h * d : (h + 1) * d]   # (N, d)
         v = v_ref[0][:, h * d : (h + 1) * d]
         rel = rel_ref[:, 0, h, :]  # (block_q, hw) — sublane select
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, N)
-        s += jax.lax.dot(rel, sel, preferred_element_type=jnp.float32)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        sT = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, block_q) — transposed scores
+        relT = jnp.transpose(rel).astype(jnp.float32)  # (hw, block_q)
+        bh = relT[0:H]       # (H, block_q) — sublane slices
+        bw = relT[H : H + W]
+        # bias^T[k] rows: Bh repeats each h-row W times consecutively, Bw
+        # tiles its W rows H times — pure-VPU broadcast+collapse, no MXU.
+        BhT = jnp.broadcast_to(bh[:, None, :], (H, W, block_q)).reshape(N, block_q)
+        BwT = jnp.broadcast_to(bw[None, :, :], (H, W, block_q)).reshape(N, block_q)
+        sT = sT + BhT + BwT
+        m = jnp.max(sT, axis=0, keepdims=True)  # (1, block_q)
+        p = jnp.exp(sT - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
         p = (p / l).astype(v.dtype)
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
         ot = jax.lax.dot_general(
-            v, p, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            v, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (d, block_q)
         o_ref[0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
@@ -795,10 +813,12 @@ def _qkv_packed_global_kernel(scale, head_group, d, hw, q_ref, k_ref, v_ref, rel
 def flash_qkv_packed_global(
     qkv: jnp.ndarray,   # (B, N, 3*heads*d) — bitcast view of the qkv projection
     rel: jnp.ndarray,   # (N, B, heads, hw) — position-major [rel_h | rel_w]
-    sel: jnp.ndarray,   # (hw, N) from make_rel_scatter
+    sel: jnp.ndarray,   # (hw, N) from make_rel_scatter (XLA ref/VJP path only)
     scale: float,
     heads: int,
     d: int,
+    H: int = 0,
+    W: int = 0,
     block_q: int = 1024,
     head_group: int = 8,
 ) -> jnp.ndarray:
@@ -810,9 +830,10 @@ def flash_qkv_packed_global(
     POSITION-major — `rel_smajor_global`'s einsum emits that layout
     natively, so no transposing copy ever materialises (the old
     (B, N, heads*hw) layout cost ~12 ms/iter of XLA relayout chain;
-    scripts/probe_relv2.py). Requires (head_group * d) % 128 == 0 and
-    hw % 128 == 0 (ViT-H global: d=80, head_group=8, hw=128). Output is
-    d-major (B, heads*d, N) for `proj_rows`.
+    scripts/probe_relv2.py). Requires (head_group * d) % 128 == 0,
+    hw % 128 == 0, and the grid dims H, W (H*W == N, both % 8 == 0) for the
+    in-kernel VPU bias build (ViT-H global: d=80, head_group=8, H=W=64).
+    Output is d-major (B, heads*d, N) for `proj_rows`.
     """
     B, N, _ = qkv.shape
     hw = sel.shape[0]
@@ -832,10 +853,13 @@ def flash_qkv_packed_global(
         o = xla_attention_relpos(q, k, v, relh, sel)  # (B, heads, N, d)
         return o.transpose(0, 1, 3, 2).reshape(B, heads * d, N)
 
-    if gd % _LANE_ALIGN != 0 or hw % _LANE_ALIGN != 0 or _on_cpu():
+    if (
+        gd % _LANE_ALIGN != 0 or hw % _LANE_ALIGN != 0 or _on_cpu()
+        or H * W != N or H % 8 != 0 or W % 8 != 0
+    ):
         return ref(qkv, rel, sel)
 
-    kernel = functools.partial(_qkv_packed_global_kernel, scale, head_group, d, hw)
+    kernel = functools.partial(_qkv_packed_global_kernel, scale, head_group, d, H, W)
     blk = lambda role: (lambda b, g, i: (b, i, role * n_hg + g))
 
     run = lambda qkv, rel, sel: pl.pallas_call(
@@ -852,8 +876,6 @@ def flash_qkv_packed_global(
                 pl.BlockSpec((block_q, 1, head_group, hw),
                              lambda b, g, i: (i, b, g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((hw, N), lambda b, g, i: (0, 0),
-                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (1, gd, block_q), lambda b, g, i: (b, g, i),
@@ -865,11 +887,11 @@ def flash_qkv_packed_global(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * heads * N * N * (2 * d + hw),
+            flops=2 * B * heads * N * N * 2 * d,
             bytes_accessed=qkv.size * 2 + rel.size * 2,
             transcendentals=B * heads * N * N,
         ),
-    )(qkv, qkv, qkv, rel, sel)
+    )(qkv, qkv, qkv, rel)
     return pallas_with_xla_vjp(run, ref)(qkv, rel, sel)
 
 

@@ -220,7 +220,7 @@ def main():
     sel_g = fa.make_rel_scatter(64, 64)
     for bq, hg in [(512, 8), (1024, 8), (512, 4), (512, 16)]:
         f = jax.jit(lambda q, r, bq=bq, hg=hg: fa.flash_qkv_packed_global(
-            q, r, sel_g, scale, heads, d, block_q=bq, head_group=hg))
+            q, r, sel_g, scale, heads, d, H=64, W=64, block_q=bq, head_group=hg))
         try:
             ms = timeit(f, qkv_g, rel_g)
             print(f"global packed bq={bq} hg={hg:2d}: {ms:7.3f} ms")

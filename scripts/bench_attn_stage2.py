@@ -155,7 +155,7 @@ def main():
     qkv_g = jnp.asarray(rng.standard_normal((B, N, 3 * heads * d)) * 0.1, jnp.bfloat16)
     rel_g = jnp.asarray(rng.standard_normal((N, B, heads, 128)) * 0.1, jnp.bfloat16)  # s-major (rel-v2)
     sel_g = fa.make_rel_scatter(64, 64)
-    f = jax.jit(lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, heads, d))
+    f = jax.jit(lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, heads, d, H=64, W=64))
     print(f"global (prod bq=1024): {timeit(f, qkv_g, rel_g):7.3f} ms")
     for bq in (512, 1024):
         f = jax.jit(lambda q, r, bq=bq: global_pair_staged(q, r, sel_g, scale, heads, d, block_q=bq))

@@ -138,7 +138,7 @@ def v3_call(qkv, rel_s, scale, heads, d, block_q=1024, head_group=HG,
 def cur(qkv3d, rph, rpw):
     qh = qkv3d[:, :, :DIM].reshape(B, H, W, HEADS, D)
     rel_s, sel = rel_smajor_global(qh, rph, rpw, H, W)
-    return fa.flash_qkv_packed_global(qkv3d, rel_s, sel, SCALE, HEADS, D)
+    return fa.flash_qkv_packed_global(qkv3d, rel_s, sel, SCALE, HEADS, D, H=H, W=W)
 
 
 def v3(qkv3d, rph, rpw, block_q=1024, use_eye_t=False):

@@ -54,6 +54,8 @@ def main():
         lambda p: p.astype(dtype) if p.dtype == jnp.float32 and p.ndim >= 2 else p,
         params,
     )
+    from camouflaged_vlm_tpu.factory import attach_rel_cache
+    params = attach_rel_cache(params, cfg)
     inp, cimg, cmask = make_example_inputs(cfg, B)
 
     text_features = jax.jit(

@@ -160,7 +160,7 @@ def kernel_checks():
     rel_g = jnp.asarray(rng.standard_normal((Ng, 2, 16, 128)) * 0.05, dt)
     sel_g = fa.make_rel_scatter(64, 64)
     got = jax.jit(
-        lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, 16, 80)
+        lambda q, r: fa.flash_qkv_packed_global(q, r, sel_g, scale, 16, 80, H=64, W=64)
     )(qkv_g, rel_g)
 
     def glob_ref(qkv, rel):

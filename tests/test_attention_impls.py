@@ -368,7 +368,7 @@ def test_flash_qkv_packed_global_matches_oracle(rng, monkeypatch, heads, head_gr
     scale = d ** -0.5
     rel_s = jnp.asarray(rel).reshape(B, N, heads, hw).transpose(1, 0, 2, 3)
     got = fa.flash_qkv_packed_global(
-        jnp.asarray(qkv), rel_s, sel, scale, heads, d,
+        jnp.asarray(qkv), rel_s, sel, scale, heads, d, H=H, W=W,
         block_q=32, head_group=head_group,
     )  # (B, heads*d, N) — d-major
     got = got.reshape(B, heads, d, N).transpose(0, 3, 1, 2).reshape(B, N, heads * d)
