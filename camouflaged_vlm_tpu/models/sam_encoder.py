@@ -39,6 +39,7 @@ from ..ops.compact_window import (
     compact_partition,
     compact_unpartition,
     edge_consts,
+    edge_rel_fast,
     edge_rel_lpad,
 )
 from ..ops.window import (
@@ -347,6 +348,27 @@ def rel_smajor_windows(qkv_flat, rel_pos_h, rel_pos_w, win, heads, hd,
     return rel_s, sel32
 
 
+def make_redge_tables(win, rel_pos_h, rel_pos_w, hd, dt, geom, head_group=8):
+    """Hoisted kron tables for the edge windows, one per edge group:
+    (R_u, hg*hd, hg*REL_LANES). Query-position rows follow the uniform edge
+    layout (row-major over the group's (nr, nc) real grid; corner rows
+    beyond g.rows are zero — their outputs are discarded). Consumed by
+    `ops.compact_window.edge_rel_fast`."""
+    from ..ops.compact_window import REL_LANES
+
+    rc = make_rcomb(win, win, rel_pos_h, rel_pos_w, dt)  # (win, win, hd, 32)
+    eye = jnp.eye(head_group, dtype=dt)
+    R = geom.R_u
+    tabs = []
+    for g in geom.edge_groups:
+        rcg = rc[: g.nr, : g.nc].reshape(g.rows, hd, REL_LANES)
+        t = jax.vmap(lambda r: jnp.kron(eye, r))(rcg)
+        if g.rows < R:
+            t = jnp.pad(t, ((0, R - g.rows), (0, 0), (0, 0)))
+        tabs.append(t)
+    return tabs
+
+
 def precompute_rel_tables(cfg, encoder_params):
     """Param-derived rel-pos tables for inference ('relcache' collection).
 
@@ -375,10 +397,16 @@ def precompute_rel_tables(cfg, encoder_params):
         rh = jnp.asarray(bp["attn"]["rel_pos_h"])
         rw = jnp.asarray(bp["attn"]["rel_pos_w"])
         if win > 0 and i not in cfg.global_attn_indexes:
-            out[f"block_{i}"] = {"attn": {
+            entry = {
                 "rblk": make_rblk(win, rh, rw, hd, dt, head_group=hg),
-                "rcomb": make_rcomb(win, win, rh, rw, dt),
-            }}
+            }
+            g = CompactGeometry(cfg.grid, cfg.grid, win)
+            if g.supported() and g.has_edge:
+                for gi, tab in enumerate(
+                    make_redge_tables(win, rh, rw, hd, dt, g, head_group=hg)
+                ):
+                    entry[f"redge_{gi}"] = tab
+            out[f"block_{i}"] = {"attn": entry}
         else:
             g = cfg.grid
             out[f"block_{i}"] = {"attn": {
@@ -453,20 +481,30 @@ class Attention(nn.Module):
             xe, g1[None], be1[None], wqc, bqc, eps=1e-6, activation=None,
             block_s=504,  # divides E=1008 (ViT-H); bounds the fp32 accumulator
         )  # (B, E, 3*dim)
-        q_e = qkv_e[:, :, :dim].reshape(B, geom.E, heads, hd)
-        rcomb = self._rel_cache("rcomb")
-        if rcomb is None:
+        n, R = geom.n_edge, geom.R_u
+        k_bias = bq[dim : 2 * dim].reshape(heads, hd)
+        redge0 = self._rel_cache("redge_0")
+        if redge0 is not None and redge0.shape[0] == R:
+            # inference: hoisted kron tables + dot-based Lpad (edge_rel_fast)
+            tables = [
+                self._rel_cache(f"redge_{gi}")
+                for gi in range(len(geom.edge_groups))
+            ]
+            rel_nr = edge_rel_fast(
+                qkv_e, tables, k_bias, scale, geom, heads, hd
+            )  # (B, n, R, heads*32), Lpad in lane 28
+        else:
+            q_e = qkv_e[:, :, :dim].reshape(B, geom.E, heads, hd)
             rcomb = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_e.dtype)
-        rcomb = rcomb.astype(qkv_e.dtype)
-        rel_e = edge_rel_lpad(
-            q_e, rcomb, bq[dim : 2 * dim].reshape(heads, hd), scale, geom
-        )  # (B, E, heads, 32) with the virtual-pad-key logit in lane 28
+            rel_e = edge_rel_lpad(
+                q_e, rcomb, k_bias, scale, geom
+            )  # (B, E, heads, 32) with the virtual-pad-key logit in lane 28
+            rel_nr = rel_e.reshape(B, n, R, heads * REL_LANES)
         sel_e, kmask_e = edge_consts(geom, qkv_e.dtype)
         vb = bq[2 * dim :].astype(self.dtype).reshape(heads, hd)
-        n, R = geom.n_edge, geom.R_u
         out_e = flash_qkv_packed_edge(
             qkv_e.reshape(B, n, R, 3 * dim),
-            rel_e.reshape(B, n, R, heads * REL_LANES),
+            rel_nr,
             sel_e, vb, kmask_e, scale, heads, hd,
         )  # (B, n, heads*hd, R) — d-major
         ye = proj(out_e, xe.reshape(B, n, R, dim))

@@ -262,6 +262,105 @@ def _lse(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
     return jax.nn.logsumexp(x[..., lo:hi], axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _edge_lpad_masks_np(geom: CompactGeometry, heads: int):
+    """Per-window 0/1 masks for the dot-based Lpad logsumexp
+    (`edge_rel_fast`): Mh/Mw (n_edge, heads*REL_LANES, 2*heads) pick, per
+    head, the exp'd rel_h / rel_w lanes of pad term t into output column
+    t*heads + h. A window type's missing second term keeps all-zero columns
+    (sum 0 -> log -inf -> logaddexp drops it)."""
+    win = geom.win
+    T = 2
+    mh_all, mw_all = [], []
+    for g in geom.edge_groups:
+        mh = np.zeros((heads * REL_LANES, T * heads), np.float32)
+        mw = np.zeros((heads * REL_LANES, T * heads), np.float32)
+        for t, (hlo, hhi, wlo, whi) in enumerate(g.terms):
+            for h in range(heads):
+                mh[h * REL_LANES + hlo : h * REL_LANES + hhi, t * heads + h] = 1.0
+                mw[h * REL_LANES + win + wlo : h * REL_LANES + win + whi,
+                   t * heads + h] = 1.0
+        mh_all += [mh] * g.n
+        mw_all += [mw] * g.n
+    return np.stack(mh_all), np.stack(mw_all)
+
+
+def edge_rel_fast(
+    qkv_edge: jnp.ndarray,   # (B, E, 3*heads*hd) — packed qkv, uniform layout
+    tables,                  # per edge group: (R_u, hg*hd, hg*REL_LANES)
+    k_bias: jnp.ndarray,     # (heads, hd) — k slice of the qkv bias
+    scale: float,
+    geom: CompactGeometry,
+    heads: int,
+    hd: int,
+) -> jnp.ndarray:
+    """`edge_rel_lpad` against precomputed kron tables -> (B, n, R, heads*32).
+
+    The original builds rel per edge GROUP with 5-D einsums over (nr, nc)
+    batch dims, computes Lpad with lane-slice logsumexps on (..., heads, 28)
+    tensors, then concatenates the Lpad lane and merges (heads, 32) lanes —
+    ~20 ms/iter of XLA glue at batch 8 (the (16, 28)-minor layouts pad 4.6x
+    and every op pays it; trace round 3). Here:
+
+      * rel comes from ONE einsum per group against the hoisted kron table
+        (`make_redge_tables` — same [rel_h | rel_w | 0] packing as the
+        interior `make_rblk`, lane-aligned 256-wide output, dummy corner
+        rows zero);
+      * Lpad's logsumexps become exp + one 0/1-mask dot per side on the
+        ALIGNED (B, n, R, heads*32) tensor (global-max stabilised — exact
+        up to f32 rounding);
+      * the Lpad lane lands by a one-hot K=heads dot — no concat, no
+        dynamic-update-slice.
+
+    Only used at inference (tables ride the 'relcache' collection); training
+    keeps `edge_rel_lpad`, whose gradients flow to the rel params."""
+    import jax
+
+    B = qkv_edge.shape[0]
+    n, R = geom.n_edge, geom.R_u
+    dim = heads * hd
+    hg = tables[0].shape[1] // hd
+    n_g = heads // hg
+    dt = qkv_edge.dtype
+
+    q2 = qkv_edge[:, :, :dim].reshape(B, n, R, n_g, hg * hd)
+    rels = []
+    off = 0
+    for g, tab in zip(geom.edge_groups, tables):
+        qg = q2[:, off : off + g.n]
+        off += g.n
+        rel_g = jnp.einsum(
+            "bnrgc,rcj->bnrgj", qg, tab.astype(dt)
+        )  # (B, g.n, R, n_g, hg*32)
+        rels.append(rel_g.reshape(B, g.n, R, heads * REL_LANES))
+    rel = jnp.concatenate(rels, axis=1)  # (B, n, R, heads*32)
+
+    # virtual-pad-key logit (see module docstring): per pad term t,
+    # lp_t = q.k_bias*scale + LSE(rel_h over kh_t) + LSE(rel_w over kw_t)
+    q4 = q2.reshape(B, n, R, heads, hd)
+    qkb = jnp.einsum(
+        "bnrhc,hc->bnrh", q4, k_bias.astype(dt)
+    ).astype(jnp.float32) * scale
+    mh, mw = _edge_lpad_masks_np(geom, heads)
+    relf = rel.astype(jnp.float32)
+    C = jnp.max(relf)  # global-max stabilisation (exact LSE up to rounding)
+    es = jnp.exp(relf - C)
+    sh = jnp.einsum("bnrj,njt->bnrt", es, jnp.asarray(mh))  # (B,n,R,2*heads)
+    sw = jnp.einsum("bnrj,njt->bnrt", es, jnp.asarray(mw))
+    lse_sum = jnp.log(sh) + jnp.log(sw) + 2.0 * C  # -inf where term absent
+    lp2 = qkb[:, :, :, None, :] + lse_sum.reshape(B, n, R, 2, heads)
+    lp = jnp.logaddexp(lp2[:, :, :, 0], lp2[:, :, :, 1])  # (B, n, R, heads)
+    # clamp -inf (dummy rows / absent terms both sides) so the one-hot
+    # scatter dot below cannot produce -inf * 0 = NaN
+    lp = jnp.maximum(lp, NEG)
+    e28 = np.zeros((heads, heads * REL_LANES), np.float32)
+    e28[np.arange(heads), np.arange(heads) * REL_LANES + LPAD_LANE] = 1.0
+    rel = rel + jnp.einsum(
+        "bnrh,hj->bnrj", lp.astype(dt), jnp.asarray(e28, dt)
+    )
+    return rel
+
+
 def edge_rel_lpad(
     q_edge: jnp.ndarray,    # (B, E, heads, hd) — UNSCALED queries
     rcomb: jnp.ndarray,     # (win, win, hd, REL_LANES) combined rel table
