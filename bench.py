@@ -19,7 +19,7 @@ import time
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {1,8,16,32}")
+    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {1,8,32,64}")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", default="bfloat16")
@@ -68,9 +68,9 @@ def main():
         )
         return jnp.sum(probs.astype(jnp.float32)) + jnp.sum(pred) + jnp.sum(score)
 
-    # 32 amortises the per-image critical path best on v5e (see PERF.md
-    # round-3 ladder); 1/8/16 kept to expose scaling regressions.
-    batches = [args.batch] if args.batch else [1, 8, 16, 32]
+    # 64 amortises the per-image critical path best on v5e (see PERF.md
+    # round-3 ladder); 1/8/32 kept to expose scaling regressions.
+    batches = [args.batch] if args.batch else [1, 8, 32, 64]
     best_ips, best_b, per_batch = 0.0, 0, {}
     for B in batches:
         try:

@@ -4,10 +4,13 @@ All rel-pos kernels share one formulation: the ViTDet decomposed bias is
 regenerated INSIDE the kernel from its rank structure
 (`bias[q,k] = rel_h[q, k//W] + rel_w[q, k%W]`,
 `/root/reference/models/mmseg/models/sam/image_encoder.py:589-625`): the
-caller passes `rel = [rel_h | rel_w]` (seq x (H+W)) and a constant 0/1
-scatter matrix `sel` ((H+W) x seq), and the kernel adds `rel @ sel` to the
-q@k^T scores — one extra MXU matmul instead of materialising a seq x seq
-bias in HBM.
+caller passes `rel = [rel_h | rel_w]` (seq x (H+W)) and the kernel adds the
+bias to the q@k^T scores — the windowed kernels via one extra MXU matmul
+against a constant 0/1 scatter `sel` ((H+W) x seq), the global kernel via
+two VPU sublane broadcasts of the transposed rel tile over TRANSPOSED
+score tiles (`_qkv_packed_global_kernel`; at hw == 128 the scatter dot was
+more MXU work than q@k itself). Either way no seq x seq bias ever
+materialises in HBM.
 
 Production kernels (read q/k/v as static lane slices of the RAW packed qkv
 projection — no head transpose/pad ever materialises):
