@@ -68,12 +68,26 @@ def main():
         )
         return jnp.sum(probs.astype(jnp.float32)) + jnp.sum(pred) + jnp.sum(score)
 
+    import signal
+
     # 64 amortises the per-image critical path best on v5e (see PERF.md
-    # round-3 ladder); 1/8/32 kept to expose scaling regressions.
-    batches = [args.batch] if args.batch else [1, 8, 32, 64]
+    # round-3 ladder); 1/8/32 kept to expose scaling regressions. Sweep
+    # best-first and alarm-guard each batch: one pathological remote
+    # compile (batch 16 exceeded 40 min on this tunnel) must not stall the
+    # whole sweep.
+    batches = [args.batch] if args.batch else [64, 32, 8, 1]
     best_ips, best_b, per_batch = 0.0, 0, {}
+
+    class _BatchTimeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _BatchTimeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
     for B in batches:
         try:
+            signal.alarm(35 * 60)
             inp, cimg, cmask = make_example_inputs(cfg, batch=B)
             call = lambda: forward(params, inp, cimg, cmask, text_features)
             for _ in range(args.warmup):
@@ -89,9 +103,12 @@ def main():
             per_batch[B] = round(ips, 3)
             if ips > best_ips:
                 best_ips, best_b = ips, B
+        except _BatchTimeout:
+            per_batch[B] = "failed: compile/run exceeded 35 min"
         except Exception as e:  # e.g. OOM at large batch
             per_batch[B] = f"failed: {type(e).__name__}: {str(e)[:160]}"
-            break
+        finally:
+            signal.alarm(0)
 
     print(
         json.dumps(
