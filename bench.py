@@ -8,23 +8,28 @@ as one jitted program.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the driver-set target of 20 images/sec/chip (BASELINE.json).
+
+With --batch 0 (default) each batch of the {64, 32, 8, 1} sweep runs in a
+SUBPROCESS with a hard timeout: on this tunnel one pathological remote
+compile can exceed 40 min (batch 16 did; 32/64 compile in ~15-20), and a
+blocked in-C++ compile RPC can't be interrupted in-process — the kill has
+to come from outside. 64 amortises the per-image critical path best on
+v5e (PERF.md round-3 ladder); 32/8/1 expose scaling regressions.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
+import sys
 import time
 
+SWEEP = [64, 32, 8, 1]
+PER_BATCH_TIMEOUT_S = 35 * 60
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {1,8,32,64}")
-    parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--dtype", default="bfloat16")
-    args = parser.parse_args()
 
+def run_one(args) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -68,47 +73,59 @@ def main():
         )
         return jnp.sum(probs.astype(jnp.float32)) + jnp.sum(pred) + jnp.sum(score)
 
-    import signal
+    B = args.batch
+    inp, cimg, cmask = make_example_inputs(cfg, batch=B)
+    call = lambda: forward(params, inp, cimg, cmask, text_features)
+    for _ in range(args.warmup):
+        float(call())  # host fetch == completion barrier
+    # Steady-state throughput: enqueue all iterations (async dispatch
+    # pipelines them on-device), fetch ONE scalar at the end — the ~36 ms
+    # tunnel round-trip is paid once, not per iter.
+    t0 = time.perf_counter()
+    outs = [call() for _ in range(args.iters)]
+    float(outs[-1])
+    sec = (time.perf_counter() - t0) / args.iters
+    return B / sec
 
-    # 64 amortises the per-image critical path best on v5e (see PERF.md
-    # round-3 ladder); 1/8/32 kept to expose scaling regressions. Sweep
-    # best-first and alarm-guard each batch: one pathological remote
-    # compile (batch 16 exceeded 40 min on this tunnel) must not stall the
-    # whole sweep.
-    batches = [args.batch] if args.batch else [64, 32, 8, 1]
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {64,32,8,1}")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args()
+
     best_ips, best_b, per_batch = 0.0, 0, {}
-
-    class _BatchTimeout(Exception):
-        pass
-
-    def _alarm(signum, frame):
-        raise _BatchTimeout()
-
-    signal.signal(signal.SIGALRM, _alarm)
-    for B in batches:
-        try:
-            signal.alarm(35 * 60)
-            inp, cimg, cmask = make_example_inputs(cfg, batch=B)
-            call = lambda: forward(params, inp, cimg, cmask, text_features)
-            for _ in range(args.warmup):
-                float(call())  # host fetch == completion barrier
-            # Steady-state throughput: enqueue all iterations (async
-            # dispatch pipelines them on-device), fetch ONE scalar at the
-            # end — the ~36 ms tunnel round-trip is paid once, not per iter.
-            t0 = time.perf_counter()
-            outs = [call() for _ in range(args.iters)]
-            float(outs[-1])
-            sec = (time.perf_counter() - t0) / args.iters
-            ips = B / sec
-            per_batch[B] = round(ips, 3)
-            if ips > best_ips:
-                best_ips, best_b = ips, B
-        except _BatchTimeout:
-            per_batch[B] = "failed: compile/run exceeded 35 min"
-        except Exception as e:  # e.g. OOM at large batch
-            per_batch[B] = f"failed: {type(e).__name__}: {str(e)[:160]}"
-        finally:
-            signal.alarm(0)
+    if args.batch:
+        ips = run_one(args)
+        per_batch[args.batch] = round(ips, 3)
+        best_ips, best_b = ips, args.batch
+    else:
+        for B in SWEEP:
+            cmd = [
+                sys.executable, __file__, "--batch", str(B),
+                "--iters", str(args.iters), "--warmup", str(args.warmup),
+                "--dtype", args.dtype,
+            ]
+            try:
+                r = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=PER_BATCH_TIMEOUT_S,
+                )
+                line = next(
+                    (l for l in r.stdout.splitlines() if '"metric"' in l), None
+                )
+                if r.returncode != 0 or line is None:
+                    tail = (r.stderr or r.stdout or "")[-200:].replace("\n", " ")
+                    per_batch[B] = f"failed: rc={r.returncode}: {tail}"
+                    continue
+                ips = json.loads(line)["value"]
+                per_batch[B] = ips
+                if ips > best_ips:
+                    best_ips, best_b = ips, B
+            except subprocess.TimeoutExpired:
+                per_batch[B] = f"failed: exceeded {PER_BATCH_TIMEOUT_S}s"
 
     print(
         json.dumps(
