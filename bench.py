@@ -62,11 +62,19 @@ def run_one(args) -> float:
         )
     )(params, bank["prefix"], bank["suffix"], bank["eot_indices"], bank["bank_features"])
 
+    from camouflaged_vlm_tpu.data.transforms import ONES_ALPHA_VALUE
+
     # NOTE: on the tunneled axon backend block_until_ready() returns before
     # execution finishes, so the timed program ends in a scalar checksum that
     # we fetch to host — the fetch is the only reliable completion barrier.
+    # The pass-1 all-ones alpha is built IN-GRAPH (exactly like
+    # cli/evaluate.run): it is a constant, so XLA folds conv1_alpha(pass 1)
+    # at compile time.
     @jax.jit
-    def forward(params, inp, cimg, cmask, text_features):
+    def forward(params, inp, cimg, text_features):
+        cmask = jnp.full(
+            (inp.shape[0], cfg.clip_size, cfg.clip_size, 1), ONES_ALPHA_VALUE
+        )
         probs, pred, score = model.apply(
             params, inp, cimg, cmask, text_features,
             method=model.infer_cascade_with_text,
@@ -74,8 +82,8 @@ def run_one(args) -> float:
         return jnp.sum(probs.astype(jnp.float32)) + jnp.sum(pred) + jnp.sum(score)
 
     B = args.batch
-    inp, cimg, cmask = make_example_inputs(cfg, batch=B)
-    call = lambda: forward(params, inp, cimg, cmask, text_features)
+    inp, cimg, _cmask = make_example_inputs(cfg, batch=B)
+    call = lambda: forward(params, inp, cimg, text_features)
     for _ in range(args.warmup):
         float(call())  # host fetch == completion barrier
     # Steady-state throughput: enqueue all iterations (async dispatch
