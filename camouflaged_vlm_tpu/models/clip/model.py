@@ -254,11 +254,16 @@ class ResidualBlock(nn.Module):
             # matmuls, residual epilogue) — the 4*dim hidden stays in VMEM.
             g2, be2 = _ParamsLN(self.dim, name="ln_2")()
             w1, b1, w2, b2 = _ParamsClipMLP(self.dim, name="mlp")()
+            # hidden_grid=4: the CLIP sequence (577+ctx, prime-ish) gives
+            # only B programs per call — too few to overlap the LN/GELU VPU
+            # stretches; walking the 4*dim hidden as 4 extra grid steps
+            # recovers ~10% (scripts/probe_clipmlp.py)
             return ln_mlp_residual_bt(
                 x, g2[None], be2[None],
                 w1.astype(self.dtype), b1.astype(self.dtype)[None],
                 w2.astype(self.dtype), b2.astype(self.dtype)[None],
                 eps=1e-5, activation="quick_gelu",
+                hidden_grid=4,
             )
         x = x + ClipMLP(self.dim, self.dtype, name="mlp")(
             LayerNormFP32(eps=1e-5, name="ln_2")(x)

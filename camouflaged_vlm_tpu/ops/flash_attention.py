@@ -52,6 +52,11 @@ from .vjp import pallas_with_xla_vjp
 # can shrink it to exercise the kernels in interpret mode on tiny shapes.
 _LANE_ALIGN = 128
 
+# Constant softmax shift for the global kernel (see _qkv_packed_global_kernel):
+# exact as long as each score column's max stays within (SHIFT - 87, SHIFT + 88)
+# — f32 exp over/underflow bounds. LN'd ViT logits measure |s| < 30.
+_SOFTMAX_SHIFT = 20.0
+
 
 def _on_cpu() -> bool:
     """Kernel wrappers degrade to their XLA reference on CPU so the fused
@@ -421,8 +426,11 @@ def _qkv_packed_windows_s_kernel(
         for h in range(head_group):
             v = v_ref[0, wi][:, h * d : (h + 1) * d]
             s = scores[h]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            # constant-shift softmax (see _SOFTMAX_SHIFT / the global kernel):
+            # drops the (Nw, Nw) max reduce+subtract on the MXU->VPU critical
+            # path — scripts/probe_wsoft.py: 2.546 -> 2.243 ms per windowed
+            # block at batch 8 (-12%)
+            p = jnp.exp(s - _SOFTMAX_SHIFT)
             l = jnp.sum(p, axis=-1, keepdims=True)
             p = (p / l).astype(v.dtype)
             # d-major output (see _qkv_packed_windows_kernel)
@@ -559,9 +567,12 @@ def _qkv_packed_edge_kernel(
         #                  slices of a packed bias fail Mosaic's broadcast
         #                  relayout at fp32)
         s, lp = staged[h]
-        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), lp)
-        p = jnp.exp(s - m)
-        pp = jnp.exp(lp - m)  # virtual pad key's probability mass (n, R, 1)
+        # constant-shift softmax (see _SOFTMAX_SHIFT): replaces the
+        # max+maximum(lp) stabilisation — probe_wsoft.py: 0.829 -> 0.728 ms
+        # per edge block at batch 8 (-12%); exp(-1e30 - SHIFT) on the dummy
+        # columns still flushes to exactly 0.
+        p = jnp.exp(s - _SOFTMAX_SHIFT)
+        pp = jnp.exp(lp - _SOFTMAX_SHIFT)  # virtual pad key's mass (n, R, 1)
         l = jnp.sum(p, axis=-1, keepdims=True) + pp
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
         ot = jax.lax.dot_general(
@@ -695,8 +706,8 @@ def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (S, S)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        # constant-shift softmax (see _SOFTMAX_SHIFT / probe_wsoft.py)
+        p = jnp.exp(s - _SOFTMAX_SHIFT)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(v.dtype)
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
@@ -794,16 +805,28 @@ def _qkv_packed_global_kernel(scale, head_group, d, H, W, q_ref, k_ref, v_ref, r
         sT = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (N, block_q) — transposed scores
-        relT = jnp.transpose(rel).astype(jnp.float32)  # (hw, block_q)
+        # Compute-dtype bias temps: the two (N, block_q) broadcast temporaries
+        # are the kernel's biggest VPU/VMEM traffic; building them in the
+        # kernel's compute dtype (bf16 in production) halves the bytes and
+        # the upcast rides the adds (probe_gbias2 v4a). fp32 parity runs keep
+        # fp32 temps — no precision change there.
+        relT = jnp.transpose(rel).astype(o_ref.dtype)  # (hw, block_q)
         bh = relT[0:H]       # (H, block_q) — sublane slices
         bw = relT[H : H + W]
         # bias^T[k] rows: Bh repeats each h-row W times consecutively, Bw
         # tiles its W rows H times — pure-VPU broadcast+collapse, no MXU.
         BhT = jnp.broadcast_to(bh[:, None, :], (H, W, block_q)).reshape(N, block_q)
         BwT = jnp.broadcast_to(bw[None, :, :], (H, W, block_q)).reshape(N, block_q)
-        sT = sT + BhT + BwT
-        m = jnp.max(sT, axis=0, keepdims=True)  # (1, block_q)
-        p = jnp.exp(sT - m)
+        sT = sT + BhT.astype(jnp.float32) + BwT.astype(jnp.float32)
+        # Constant-shift softmax: softmax is shift-invariant, so the per-
+        # column max reduce+subtract (a full (N, block_q) VPU pass on the
+        # critical path between the two MXU dots) is replaced by a fixed
+        # shift (probe_gbias2 v4b: -2.3 ms/block). f32 exp overflows only at
+        # s > 88 + SHIFT and the result is exact (not approximate) whenever
+        # every column has some score above SHIFT - 87; LN'd ViT-H logits
+        # measure |s| < 30. The XLA ref/VJP below keeps the max-subtract —
+        # mathematically identical, so parity tests still anchor this path.
+        p = jnp.exp(sT - _SOFTMAX_SHIFT)
         l = jnp.sum(p, axis=0, keepdims=True)
         p = (p / l).astype(v.dtype)
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
@@ -822,7 +845,7 @@ def flash_qkv_packed_global(
     d: int,
     H: int = 0,
     W: int = 0,
-    block_q: int = 1024,
+    block_q: int = 512,
     head_group: int = 8,
 ) -> jnp.ndarray:
     """Global-attention sibling of `flash_qkv_packed_windows` (q tiled).

@@ -22,6 +22,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .vjp import pallas_with_xla_vjp
 
+# Lane-tile alignment required of the hidden-grid MLP kernel's chunked dims
+# (module-level so interpret-mode tests can shrink it for tiny shapes).
+_HGRID_ALIGN = 128
+
 
 def _on_cpu() -> bool:
     """Kernel wrappers degrade to their XLA reference on CPU so the fused
@@ -327,6 +331,44 @@ def _ln_mlp_residual_bt_kernel(
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _ln_mlp_residual_hgrid_kernel(
+    eps, activation, n_h,
+    x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    acc_ref, xn_ref,
+):
+    # Hidden-chunked variant: the grid's minor ("arbitrary") axis walks H in
+    # chunks, accumulating partials into an f32 VMEM scratch — GELU is
+    # elementwise in the hidden dim, so
+    #   sum_i act(xn @ W1_i + b1_i) @ W2_i == act(xn @ W1 + b1) @ W2
+    # exactly (up to f32 summation order). More programs = more MXU/VPU
+    # cross-program overlap where the single-chunk kernel ran only Bp
+    # programs (CLIP: 8) and its LN/GELU stretches serialised against the
+    # dots (scripts/probe_clipmlp.py: 594.7 -> 533.5 us/call, -10%).
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        x32 = x_ref[0].astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[:].astype(jnp.float32) + be_ref[:].astype(jnp.float32)
+        xn_ref[...] = xn.astype(xn_ref.dtype)  # LN computed once, not per chunk
+        acc_ref[...] = x32 + b2_ref[:].astype(jnp.float32)
+
+    h = jax.lax.dot(
+        xn_ref[...], w1_ref[:], preferred_element_type=jnp.float32
+    )
+    h = _apply_act(h + b1_ref[:].astype(jnp.float32), activation)
+    acc_ref[...] += jax.lax.dot(
+        h.astype(o_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == n_h - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
 def ln_mlp_residual_bt(
     x: jnp.ndarray,       # (B', S, K) — also the residual
     gamma: jnp.ndarray,   # (1, K)
@@ -338,11 +380,18 @@ def ln_mlp_residual_bt(
     eps: float = 1e-6,
     activation: str = "gelu_tanh",
     block_s: int = 512,
+    hidden_grid: int = 1,
 ) -> jnp.ndarray:
     """x + MLP(LN(x)) as ONE kernel: the (S, 4*dim) hidden never leaves VMEM
     (the two-kernel split wrote+read ~400 MB of hidden per ViT-H block at
     batch 8, ~16 ms/pass). Both weight matrices stay VMEM-resident across
-    the whole grid."""
+    the whole grid.
+
+    hidden_grid > 1 walks the hidden dim as an extra (minor, "arbitrary")
+    grid axis with an f32 scratch accumulator — for callers whose row count
+    gives too few programs to overlap the LN/GELU VPU stretches (the CLIP
+    tower: S=577 is prime, so grid is (B, 1); the SAM encoder's 84+ row
+    blocks keep hidden_grid=1)."""
     Bp, S, K = x.shape
     H = w1.shape[1]
     bs = block_s if (S % block_s == 0 and S > block_s) else S
@@ -365,6 +414,62 @@ def ln_mlp_residual_bt(
 
     if _on_cpu():
         return ref(x, gamma, beta, w1, b1, w2, b2)
+
+    # hidden_grid needs every chunked lane/sublane dim tile-aligned: hc is
+    # the lane dim of the w1 block and the sublane dim of the w2 block, and
+    # K is the lane dim of the output block. Tiny/test configs (K=32,
+    # hc=32) fall back to the single-chunk kernel.
+    if (
+        hidden_grid > 1
+        and H % hidden_grid == 0
+        and (H // hidden_grid) % _HGRID_ALIGN == 0
+        and K % _HGRID_ALIGN == 0
+    ):
+        n_h = hidden_grid
+        hc = H // n_h
+        hkernel = functools.partial(
+            _ln_mlp_residual_hgrid_kernel, eps, activation, n_h
+        )
+        run_h = lambda x, gamma, beta, w1, b1, w2, b2: pl.pallas_call(
+            hkernel,
+            out_shape=jax.ShapeDtypeStruct((Bp, S, K), x.dtype),
+            grid=(Bp, S // bs, n_h),
+            in_specs=[
+                pl.BlockSpec((1, bs, K), lambda b_, s, i: (b_, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b_, s, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b_, s, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, hc), lambda b_, s, i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hc), lambda b_, s, i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hc, K), lambda b_, s, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b_, s, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bs, K), lambda b_, s, i: (b_, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bs, K), jnp.float32),
+                pltpu.VMEM((bs, K), x.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bp * S * K * H,
+                bytes_accessed=(2 * x.size) * x.dtype.itemsize
+                + (w1.size + w2.size) * w1.dtype.itemsize,
+                transcendentals=Bp * S * H,
+            ),
+        )(x, gamma, beta, w1, b1, w2, b2)
+        return pallas_with_xla_vjp(run_h, ref)(x, gamma, beta, w1, b1, w2, b2)
 
     run = lambda x, gamma, beta, w1, b1, w2, b2: pl.pallas_call(
         kernel,

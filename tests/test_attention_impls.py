@@ -430,6 +430,53 @@ def test_ln_mask_linear_and_proj_res_kernels(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_ln_mlp_residual_hidden_grid_kernel(rng, monkeypatch):
+    """hidden_grid > 1 (CLIP MLP: H walked as an 'arbitrary' grid axis with an
+    f32 scratch accumulator) == the single-chunk kernel == the XLA math."""
+    from camouflaged_vlm_tpu.ops import linear as lin
+
+    orig = lin.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lin.pl, "pallas_call", interp)
+    monkeypatch.setattr(lin, "_on_cpu", lambda: False)
+    monkeypatch.setattr(lin, "_HGRID_ALIGN", 16)
+
+    B0, S, K = 2, 7, 16  # S prime like CLIP's 577 -> bs == S, grid (B, 1, n_h)
+    H = 4 * K
+    x = jnp.asarray(rng.standard_normal((B0, S, K)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, K)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.standard_normal((1, K)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((K, H)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((1, H)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((H, K)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
+
+    got = lin.ln_mlp_residual_bt(
+        x, g, be, w1, b1, w2, b2, eps=1e-6, activation="quick_gelu",
+        hidden_grid=4,
+    )
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+    h = xn @ w1 + b1
+    h = h * jax.nn.sigmoid(1.702 * h)
+    want = h @ w2 + b2 + x
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-4)
+
+    # hidden_grid must not change the result vs the single-chunk kernel
+    got1 = lin.ln_mlp_residual_bt(
+        x, g, be, w1, b1, w2, b2, eps=1e-6, activation="quick_gelu",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got1), rtol=2e-5,
+                               atol=2e-4)
+
+
 def test_rel_packed32_equals_rel_and_scatter(rng):
     """Combined-table single-einsum rel == two-einsum+concat+pad rel."""
     from camouflaged_vlm_tpu.models.sam_encoder import rel_and_scatter, rel_packed32
