@@ -9,12 +9,13 @@ as one jitted program.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the driver-set target of 20 images/sec/chip (BASELINE.json).
 
-With --batch 0 (default) each batch of the {64, 32, 8, 1} sweep runs in a
+With --batch 0 (default) each batch of the {32, 8, 64, 1} sweep runs in a
 SUBPROCESS with a hard timeout: on this tunnel one pathological remote
 compile can exceed 40 min (batch 16 did; 32/64 compile in ~15-20), and a
 blocked in-C++ compile RPC can't be interrupted in-process — the kill has
-to come from outside. 64 amortises the per-image critical path best on
-v5e (PERF.md round-3 ladder); 32/8/1 expose scaling regressions.
+to come from outside. Best-first order: after the round-3 const-shift
+landings the batch slope is flat (b8 20.68 / b32 20.76 / b64 20.64), so 32
+leads and the cheap-compile 8 comes second.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ import subprocess
 import sys
 import time
 
-SWEEP = [64, 32, 8, 1]
+SWEEP = [32, 8, 64, 1]
 PER_BATCH_TIMEOUT_S = 35 * 60
 
 
@@ -98,7 +99,7 @@ def run_one(args) -> float:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {64,32,8,1}")
+    parser.add_argument("--batch", type=int, default=0, help="0 = sweep {32,8,64,1}")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", default="bfloat16")
