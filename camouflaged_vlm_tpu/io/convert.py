@@ -340,6 +340,62 @@ def convert_maple_prompt_learner(sd: Dict[str, np.ndarray], clip_cfg: AlphaClipC
     return convert_state_dict(sd, m)
 
 
+def _inverse_transform(kind: str, v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v)
+    if kind == "linear_w":
+        return np.ascontiguousarray(v.T)
+    if kind in ("conv_w", "convT_w"):
+        # both forward transforms are transpose(2,3,1,0); inverse (3,2,0,1)
+        return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+    if kind == "row0":
+        return np.ascontiguousarray(v.reshape(1, -1))
+    if kind == "direct":
+        return np.ascontiguousarray(v).reshape(v.shape)
+    raise ValueError(f"unknown transform kind {kind!r}")
+
+
+def _get_path(tree: Dict, path: str):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
+
+
+def export_state_dict(
+    tree: Dict,
+    key_map: Iterable[KeyMapEntry],
+    strict: bool = False,
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Inverse of `convert_state_dict`: flax param tree -> torch-layout
+    state dict (numpy, fp32). Returns (state dict, flax paths missing from
+    the tree). Every transform kind is exactly invertible, so
+    convert(export(tree)) == tree bit-for-bit (tests/test_convert.py)."""
+    sd: Dict[str, np.ndarray] = {}
+    missing: List[str] = []
+    for tk, fp, kind in key_map:
+        try:
+            v = _get_path(tree, fp)
+        except (KeyError, TypeError):
+            if strict:
+                raise KeyError(f"param tree missing {fp}")
+            missing.append(fp)
+            continue
+        sd[tk] = _inverse_transform(kind, np.asarray(v, dtype=np.float32))
+    return sd, missing
+
+
+def export_cascade_checkpoint(
+    params: Dict, cfg: CascadeConfig
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Flax cascade params -> the reference's `model.state_dict()` layout
+    (save site: `/root/reference/train_ovcos_maskdecoder_edge.py` best/last
+    `torch.save`), so checkpoints trained here can be loaded by the
+    reference's eval/demo tooling. Accepts either the full variables dict
+    ({'params': ...}) or the bare 'params' collection."""
+    tree = params.get("params", params)
+    return export_state_dict(tree, cascade_key_map(cfg))
+
+
 def merge_into_params(params: Dict, tree: Dict) -> Dict:
     """Recursively overwrite `params` (a flax 'params' collection) with
     converted leaves, checking shapes."""

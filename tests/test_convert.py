@@ -21,6 +21,7 @@ from camouflaged_vlm_tpu.io.convert import (
     convert_state_dict,
     convert_openai_clip,
     convert_maple_prompt_learner,
+    export_cascade_checkpoint,
     merge_into_params,
     _transform,
 )
@@ -58,20 +59,16 @@ def test_key_map_covers_every_param(tiny_setup):
 
 
 def test_roundtrip_synthetic_checkpoint(tiny_setup):
-    """Generate a torch-layout sd by inverse-transforming the flax params,
-    convert it back, and check bit-identity + full coverage."""
+    """Export the flax params to the reference's torch layout via the
+    production exporter, convert it back, and check bit-identity + full
+    coverage both ways."""
     cfg, model, bank, params = tiny_setup
     flat = _flatten(jax.tree.map(np.asarray, params["params"]))
     key_map = cascade_key_map(cfg)
 
-    inverse = {
-        "linear_w": lambda v: v.T,
-        "conv_w": lambda v: v.transpose(3, 2, 0, 1),
-        "convT_w": lambda v: v.transpose(3, 2, 0, 1),
-        "row0": lambda v: v.reshape(1, -1),
-        "direct": lambda v: v,
-    }
-    sd = {tk: inverse[kind](flat[fp]) for tk, fp, kind in key_map}
+    sd, export_missing = export_cascade_checkpoint(params, cfg)
+    assert not export_missing  # every mapped torch key is exportable
+    assert set(sd) == {tk for tk, _, _ in key_map}
 
     tree, missing, used = convert_state_dict(sd, key_map)
     assert not missing
