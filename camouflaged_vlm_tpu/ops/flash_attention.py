@@ -440,6 +440,65 @@ def _qkv_packed_windows_s_kernel(
             o_ref[0, wi, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
+def _qkv_packed_windows_s_bwd_kernel(
+    scale, head_group, d, wb,
+    q_ref, k_ref, v_ref, rel_ref, sel_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, drel_ref,
+):
+    # Flash-style attention BACKWARD for the windowed s-major kernel: scores
+    # and probabilities are recomputed per window in VMEM (never hitting
+    # HBM), and every gradient dot is oriented so its natural output is
+    # d-major / transposed — no in-kernel transposes, all stores at aligned
+    # sublane offsets. The XLA-autodiff backward this replaces materialised
+    # every window's probability matrix in HBM and ran at ~20 TF/s
+    # (scripts/trace_train.py: windowed-attn backward was 163 ms of the
+    # 531 ms batch-2 train step).
+    #
+    #   dV^T = g^T P           dP = g^T·v      t = Σ_k dP∘P
+    #   dS = P∘(dP − t)        dq^T = k^T dS^T·scale   dk^T = q^T dS·scale
+    #   drel^T = sel·dS^T
+    sel = sel_ref[:]  # (32, Nw)
+    for wi in range(wb):
+        for h in range(head_group):
+            q = q_ref[0, wi][:, h * d : (h + 1) * d]   # (Nw, d)
+            k = k_ref[0, wi][:, h * d : (h + 1) * d]
+            v = v_ref[0, wi][:, h * d : (h + 1) * d]
+            rel = rel_ref[:, wi, h * 32 : (h + 1) * 32]  # (Nw, 32)
+            gT = g_ref[0, wi][h * d : (h + 1) * d, :]    # (d, Nw) d-major grad
+            qs = q * jnp.asarray(scale, q.dtype)
+            s = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s += jax.lax.dot(
+                rel.astype(q.dtype), sel, preferred_element_type=jnp.float32
+            )
+            p = jnp.exp(s - _SOFTMAX_SHIFT)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            P = p / l                      # (Nw_q, Nw_k) f32
+            Pb = P.astype(q.dtype)
+            dvT = jax.lax.dot_general(    # (d, Nw_k)
+                gT, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dP = jax.lax.dot_general(     # (Nw_q, Nw_k)
+                gT, v, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            t = jnp.sum(dP * P, axis=-1, keepdims=True)
+            dSb = (P * (dP - t)).astype(q.dtype)
+            dqT = jax.lax.dot_general(    # (d, Nw_q)
+                k, dSb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            dkT = jax.lax.dot_general(    # (d, Nw_k)
+                q, dSb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            drelT = jax.lax.dot_general(  # (32, Nw_q)
+                sel, dSb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dq_ref[0, wi, h * d : (h + 1) * d, :] = dqT.astype(dq_ref.dtype)
+            dk_ref[0, wi, h * d : (h + 1) * d, :] = dkT.astype(dk_ref.dtype)
+            dv_ref[0, wi, h * d : (h + 1) * d, :] = dvT.astype(dv_ref.dtype)
+            drel_ref[0, wi, h * 32 : (h + 1) * 32, :] = drelT.astype(drel_ref.dtype)
+
+
 def flash_qkv_packed_windows_s(
     qkv: jnp.ndarray,    # (BW, Nw, 3*heads*d) — flat windows, raw Dense out
     rel_s: jnp.ndarray,  # (Nw, BW, heads*32) — POSITION-major packed rel
@@ -523,7 +582,82 @@ def flash_qkv_packed_windows_s(
         rel_s,
         sel32,
     ).reshape(BW, heads * d, Nw)
-    return pallas_with_xla_vjp(run, ref)(qkv, rel_s, sel32)
+
+    bwd_kernel = functools.partial(
+        _qkv_packed_windows_s_bwd_kernel, scale, head_group, d, win_block
+    )
+
+    def run_bwd(qkv, rel_s, sel32, g):
+        qkv4 = qkv.reshape(nb, win_block, Nw, 3 * heads * d)
+        g4 = g.reshape(nb, win_block, heads * d, Nw)
+        out_sd = lambda lanes, dt: jax.ShapeDtypeStruct(
+            (nb, win_block, lanes, Nw), dt
+        )
+        ospec = lambda lanes: pl.BlockSpec(
+            (1, win_block, lanes, Nw), lambda b, g_: (b, 0, g_, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dqT, dkT, dvT, drelT = pl.pallas_call(
+            bwd_kernel,
+            out_shape=[
+                out_sd(heads * d, qkv.dtype),
+                out_sd(heads * d, qkv.dtype),
+                out_sd(heads * d, qkv.dtype),
+                out_sd(heads * 32, rel_s.dtype),
+            ],
+            grid_spec=pl.GridSpec(
+                grid=(nb, n_hg),
+                in_specs=[
+                    pl.BlockSpec((1, win_block, Nw, gd), blk(0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, win_block, Nw, gd), blk(1),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, win_block, Nw, gd), blk(2),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Nw, win_block, head_group * 32),
+                                 lambda b, g_: (0, b, g_),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((32, Nw), lambda b, g_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, win_block, gd, Nw),
+                                 lambda b, g_: (b, 0, g_, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    ospec(gd), ospec(gd), ospec(gd), ospec(head_group * 32),
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * BW * heads * Nw * Nw * (2 * d + 32),
+                bytes_accessed=qkv.size * 4 + rel_s.size * 4,
+                transcendentals=BW * heads * Nw * Nw,
+            ),
+        )(qkv4, qkv4, qkv4, rel_s, sel32, g4)
+        # assemble logical cotangents; XLA folds the transposes into the
+        # consuming dgemms (qkv-projection / rel-einsum VJPs)
+        to_rows = lambda a: jnp.swapaxes(a, 2, 3).reshape(BW, Nw, -1)
+        dqkv = jnp.concatenate(
+            [to_rows(dqT), to_rows(dkT), to_rows(dvT)], axis=-1
+        )
+        drel = drelT.transpose(3, 0, 1, 2).reshape(Nw, BW, heads * 32)
+        return dqkv, drel, jnp.zeros_like(sel32)
+
+    @jax.custom_vjp
+    def f(qkv, rel_s, sel32):
+        return run(qkv, rel_s, sel32)
+
+    def f_fwd(qkv, rel_s, sel32):
+        return run(qkv, rel_s, sel32), (qkv, rel_s, sel32)
+
+    def f_bwd(res, g):
+        return run_bwd(*res, g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(qkv, rel_s, sel32)
 
 
 def _qkv_packed_edge_kernel(
@@ -836,6 +970,83 @@ def _qkv_packed_global_kernel(scale, head_group, d, H, W, q_ref, k_ref, v_ref, r
         o_ref[0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
+def _qkv_packed_global_bwd_kernel(
+    scale, head_group, d, H, W, n_i,
+    q_ref, k_ref, v_ref, rel_ref, sel_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, drel_ref,
+    dk_acc, dv_acc,
+):
+    # Flash-style backward for the global kernel: full k/v per head group
+    # live in VMEM (like the forward), the (N, block_q) probability tile is
+    # recomputed per q-block, and dk/dv accumulate across q-blocks in f32
+    # scratch (the grid's q axis is "arbitrary" = sequential per (b, g)).
+    # Replaces XLA autodiff's materialised f32 (B, heads, N, N) probability
+    # matrices (2.1 GB each at batch 2, ~20 TF/s, 134 ms of the train step).
+    i = pl.program_id(2)
+    N = k_ref.shape[1]
+    block_q = q_ref.shape[1]
+    sel = sel_ref[:]  # (hw, N)
+    for h in range(head_group):
+        q = q_ref[0][:, h * d : (h + 1) * d]
+        k = k_ref[0][:, h * d : (h + 1) * d]   # (N, d)
+        v = v_ref[0][:, h * d : (h + 1) * d]
+        rel = rel_ref[:, 0, h, :]              # (block_q, hw)
+        gT = g_ref[0][h * d : (h + 1) * d, :]  # (d, block_q)
+        qs = q * jnp.asarray(scale, q.dtype)
+        sT = jax.lax.dot_general(
+            k, qs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, block_q)
+        relT = jnp.transpose(rel).astype(gT.dtype)  # (hw, block_q)
+        bh = relT[0:H]
+        bw = relT[H : H + W]
+        BhT = jnp.broadcast_to(bh[:, None, :], (H, W, block_q)).reshape(N, block_q)
+        BwT = jnp.broadcast_to(bw[None, :, :], (H, W, block_q)).reshape(N, block_q)
+        sT = sT + BhT.astype(jnp.float32) + BwT.astype(jnp.float32)
+        pT = jnp.exp(sT - _SOFTMAX_SHIFT)
+        l = jnp.sum(pT, axis=0, keepdims=True)
+        PT = pT / l                           # (N, block_q) f32
+        PTb = PT.astype(q.dtype)
+        dPT = jax.lax.dot_general(            # (N, block_q)
+            v, gT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        t = jnp.sum(dPT * PT, axis=0, keepdims=True)
+        dSTb = (PT * (dPT - t)).astype(q.dtype)
+        dqT = jax.lax.dot_general(            # (d, block_q)
+            k, dSTb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dkT = jax.lax.dot_general(            # (d, N)
+            q, dSTb, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dvT = jax.lax.dot_general(            # (d, N)
+            gT, PTb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        drelT = jax.lax.dot_general(          # (hw, block_q)
+            sel.astype(q.dtype), dSTb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, h * d : (h + 1) * d, :] = dqT.astype(dq_ref.dtype)
+        drel_ref[0, h] = drelT.astype(drel_ref.dtype)
+
+        @pl.when(i == 0)
+        def _():
+            dk_acc[h * d : (h + 1) * d, :] = dkT
+            dv_acc[h * d : (h + 1) * d, :] = dvT
+
+        @pl.when(i != 0)
+        def _():
+            dk_acc[h * d : (h + 1) * d, :] += dkT
+            dv_acc[h * d : (h + 1) * d, :] += dvT
+
+        @pl.when(i == n_i - 1)
+        def _():
+            dk_ref[0, h * d : (h + 1) * d, :] = (
+                dk_acc[h * d : (h + 1) * d, :].astype(dk_ref.dtype)
+            )
+            dv_ref[0, h * d : (h + 1) * d, :] = (
+                dv_acc[h * d : (h + 1) * d, :].astype(dv_ref.dtype)
+            )
+
+
 def flash_qkv_packed_global(
     qkv: jnp.ndarray,   # (B, N, 3*heads*d) — bitcast view of the qkv projection
     rel: jnp.ndarray,   # (N, B, heads, hw) — position-major [rel_h | rel_w]
@@ -918,7 +1129,81 @@ def flash_qkv_packed_global(
             transcendentals=B * heads * N * N,
         ),
     )(qkv, qkv, qkv, rel)
-    return pallas_with_xla_vjp(run, ref)(qkv, rel, sel)
+
+    n_i = N // block_q
+    hw_ = hw
+    bwd_kernel = functools.partial(
+        _qkv_packed_global_bwd_kernel, scale, head_group, d, H, W, n_i
+    )
+
+    def run_bwd(qkv, rel, sel, g):
+        dqT, dkT, dvT, drelT = pl.pallas_call(
+            bwd_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, heads * d, N), qkv.dtype),
+                jax.ShapeDtypeStruct((B, heads * d, N), qkv.dtype),
+                jax.ShapeDtypeStruct((B, heads * d, N), qkv.dtype),
+                jax.ShapeDtypeStruct((B, heads, hw_, N), rel.dtype),
+            ],
+            grid=(B, n_hg, n_i),
+            in_specs=[
+                pl.BlockSpec((1, block_q, gd), blk(0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, gd), lambda b, g_, i: (b, 0, n_hg + g_),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, gd), lambda b, g_, i: (b, 0, 2 * n_hg + g_),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_q, 1, head_group, hw_),
+                             lambda b, g_, i: (i, b, g_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hw_, N), lambda b, g_, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gd, block_q), lambda b, g_, i: (b, g_, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, gd, block_q), lambda b, g_, i: (b, g_, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gd, N), lambda b, g_, i: (b, g_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gd, N), lambda b, g_, i: (b, g_, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, head_group, hw_, block_q),
+                             lambda b, g_, i: (b, g_, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((gd, N), jnp.float32),
+                pltpu.VMEM((gd, N), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * B * heads * N * N * 2 * d,
+                bytes_accessed=qkv.size * 4 + rel.size * 4,
+                transcendentals=B * heads * N * N,
+            ),
+        )(qkv, qkv, qkv, rel, sel, g)
+        to_rows = lambda a: jnp.swapaxes(a, 1, 2)
+        dqkv = jnp.concatenate(
+            [to_rows(dqT), to_rows(dkT), to_rows(dvT)], axis=-1
+        )
+        drel = drelT.transpose(3, 0, 1, 2)  # (N, B, heads, hw)
+        return dqkv, drel, jnp.zeros_like(sel)
+
+    @jax.custom_vjp
+    def f(qkv, rel, sel):
+        return run(qkv, rel, sel)
+
+    def f_fwd(qkv, rel, sel):
+        return run(qkv, rel, sel), (qkv, rel, sel)
+
+    def f_bwd(res, g):
+        return run_bwd(*res, g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(qkv, rel, sel)
 
 
 def _qkv_relpos_global_kernel(scale, head_group, q_ref, k_ref, v_ref, rel_ref, sel_ref, o_ref):

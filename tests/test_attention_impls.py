@@ -477,6 +477,47 @@ def test_ln_mlp_residual_hidden_grid_kernel(rng, monkeypatch):
                                atol=2e-4)
 
 
+def test_global_pallas_backward_matches_xla_grad(rng, monkeypatch):
+    """flash_qkv_packed_global's hand-written Pallas backward (flash-style,
+    dk/dv accumulated across q-blocks in f32 scratch) == XLA autodiff of the
+    reference formulation, for qkv AND the position-major rel."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(fa, "_LANE_ALIGN", 16)
+
+    H = W = 8
+    B, heads, d = 2, 2, 8
+    N = H * W
+    hw = H + W
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * heads * d)) * 0.3, jnp.float32)
+    rel_s = jnp.asarray(rng.standard_normal((N, B, heads, hw)) * 0.1, jnp.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    scale = d ** -0.5
+
+    def f(qkv, rel_s):
+        out = fa.flash_qkv_packed_global(
+            qkv, rel_s, sel, scale, heads, d, H=H, W=W,
+            block_q=32, head_group=heads,  # 2 q-blocks exercise the scratch accumulation
+        )
+        return jnp.sum(out ** 2)
+
+    def g(qkv, rel_s):
+        r = qkv.reshape(B, N, 3, heads, d)
+        q = jnp.moveaxis(r[:, :, 0], 2, 1) * scale
+        k = jnp.moveaxis(r[:, :, 1], 2, 1)
+        v = jnp.moveaxis(r[:, :, 2], 2, 1)
+        relh = rel_s.transpose(1, 2, 0, 3)
+        o = fa.xla_attention_relpos(q, k, v, relh, sel)
+        out = o.transpose(0, 1, 3, 2).reshape(B, heads * d, N)
+        return jnp.sum(out ** 2)
+
+    got = jax.grad(f, (0, 1))(qkv, rel_s)
+    want = jax.grad(g, (0, 1))(qkv, rel_s)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_rel_packed32_equals_rel_and_scatter(rng):
     """Combined-table single-einsum rel == two-einsum+concat+pad rel."""
     from camouflaged_vlm_tpu.models.sam_encoder import rel_and_scatter, rel_packed32
@@ -544,3 +585,48 @@ def test_kernels_differentiable_match_xla_grad(rng, monkeypatch):
     got = jax.grad(f2, (0, 1))(qkv, rel_p)
     want_qkv = jax.grad(g2, (0, 1))(qkv, rel_p)[0]
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_qkv), rtol=3e-4, atol=3e-4)
+
+
+def test_windows_s_pallas_backward_matches_xla_grad(rng, monkeypatch):
+    """flash_qkv_packed_windows_s carries a hand-written Pallas BACKWARD
+    kernel (flash-style: probabilities recomputed in VMEM). Its gradients
+    for qkv AND the position-major rel must match XLA autodiff of the
+    reference formulation."""
+    _interp(monkeypatch)
+    monkeypatch.setattr(fa, "_LANE_ALIGN", 16)
+
+    H = W = 4
+    BW, heads, d = 8, 2, 8  # BW % win_block == 0 keeps the kernel path
+    Nn = H * W
+    hw = H + W
+    qkv = jnp.asarray(rng.standard_normal((BW, Nn, 3 * heads * d)) * 0.3, jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((BW, Nn, heads, hw)) * 0.1, jnp.float32)
+    sel = fa.make_rel_scatter(H, W, dtype=jnp.float32)
+    sel32 = jnp.pad(sel, ((0, 32 - hw), (0, 0)))
+    rel_s = jnp.pad(rel, ((0, 0), (0, 0), (0, 0), (0, 32 - hw))).reshape(
+        BW, Nn, heads * 32
+    ).transpose(1, 0, 2)  # (Nw, BW, heads*32) position-major
+    scale = d ** -0.5
+
+    def f(qkv, rel_s):
+        out = fa.flash_qkv_packed_windows_s(
+            qkv, rel_s, sel32, scale, heads, d, head_group=heads, win_block=8
+        )
+        return jnp.sum(out ** 2)
+
+    def g(qkv, rel_s):
+        relh = rel_s.reshape(Nn, BW, heads, 32).transpose(1, 2, 0, 3)
+        r = qkv.reshape(BW, Nn, 3, heads, d)
+        q = jnp.moveaxis(r[:, :, 0], 2, 1) * scale
+        k = jnp.moveaxis(r[:, :, 1], 2, 1)
+        v = jnp.moveaxis(r[:, :, 2], 2, 1)
+        o = fa.xla_attention_relpos(q, k, v, relh, sel32)
+        out = o.transpose(0, 1, 3, 2).reshape(BW, heads * d, Nn)
+        return jnp.sum(out ** 2)
+
+    got = jax.grad(f, (0, 1))(qkv, rel_s)
+    want = jax.grad(g, (0, 1))(qkv, rel_s)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=3e-4, atol=3e-4)
