@@ -369,6 +369,55 @@ def _ln_mlp_residual_hgrid_kernel(
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _ln_mlp_residual_bwd_kernel(
+    eps, activation,
+    x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, gr_ref,
+    dx_ref, dh_ref, hact_ref, xn_ref, dga_ref, dbe_ref, db1_ref,
+):
+    # Pallas backward for the fused MLP's dx path. XLA autodiff fused the
+    # LN-backward reductions into the dxn dgemm at 51 TF/s (~120 ms of the
+    # batch-2 train step, scripts/trace_train.py); here the three backward
+    # dgemms run clean and the LN/activation VPU work stays in VMEM. The
+    # weight gradients need cross-row-block contractions, so the kernel
+    # streams dh/hact/xn to HBM for two XLA dgemms in the VJP wrapper, and
+    # emits per-program dgamma/dbeta/db1 partials (summed XLA-side).
+    x32 = x_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mu) * rstd
+    gamma = g_ref[:].astype(jnp.float32)
+    xn = xhat * gamma + be_ref[:].astype(jnp.float32)
+    xnb = xn.astype(dx_ref.dtype)
+    pre1 = jax.lax.dot(
+        xnb, w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    hact, act_vjp = jax.vjp(lambda p: _apply_act(p, activation), pre1)
+    g_up = gr_ref[0].astype(jnp.float32)  # upstream grad (bs, K)
+    dh_pre = jax.lax.dot_general(
+        g_up.astype(dx_ref.dtype), w2_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (bs, H) = g @ W2^T
+    dh = act_vjp(dh_pre)[0]
+    dxn = jax.lax.dot_general(
+        dh.astype(dx_ref.dtype), w1_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (bs, K) = dh @ W1^T
+    dxhat = dxn * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2) + g_up
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dh_ref[0] = dh.astype(dh_ref.dtype)
+    hact_ref[0] = hact.astype(hact_ref.dtype)
+    xn_ref[0] = xnb
+    # partials padded to 8 sublanes (Mosaic block tiling); row 0 is the value
+    pad8 = lambda v: jnp.broadcast_to(v, (8, v.shape[-1]))
+    dga_ref[0, 0] = pad8(jnp.sum(dxn * xhat, axis=0, keepdims=True))
+    dbe_ref[0, 0] = pad8(jnp.sum(dxn, axis=0, keepdims=True))
+    db1_ref[0, 0] = pad8(jnp.sum(dh, axis=0, keepdims=True))
+
+
 def ln_mlp_residual_bt(
     x: jnp.ndarray,       # (B', S, K) — also the residual
     gamma: jnp.ndarray,   # (1, K)
@@ -507,7 +556,88 @@ def ln_mlp_residual_bt(
             transcendentals=Bp * S * H,
         ),
     )(x, gamma, beta, w1, b1, w2, b2)
-    return pallas_with_xla_vjp(run, ref)(x, gamma, beta, w1, b1, w2, b2)
+    bwd_kernel = functools.partial(_ln_mlp_residual_bwd_kernel, eps, activation)
+    # The backward holds ~5 (bs, H) f32 transients in VMEM — a 1008-row edge
+    # block at H=5120 is 103 MB. Row-block the backward tighter than the fwd.
+    bs_b = _pick_block(S, 256)
+    nS = S // bs_b
+
+    def run_bwd(x, gamma, beta, w1, b1, w2, b2, g):
+        vspec = lambda lanes: pl.BlockSpec(
+            (1, bs_b, lanes), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM
+        )
+        dx, dh, hact, xn, dga, dbe, db1 = pl.pallas_call(
+            bwd_kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((Bp, S, K), x.dtype),
+                jax.ShapeDtypeStruct((Bp, S, H), x.dtype),
+                jax.ShapeDtypeStruct((Bp, S, H), x.dtype),
+                jax.ShapeDtypeStruct((Bp, S, K), x.dtype),
+                jax.ShapeDtypeStruct((Bp, nS, 8, K), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, nS, 8, K), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, nS, 8, H), jnp.float32),
+            ],
+            grid=(Bp, nS),
+            in_specs=[
+                vspec(K),
+                pl.BlockSpec((1, K), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, H), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, K), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+                vspec(K),
+            ],
+            out_specs=[
+                vspec(K), vspec(H), vspec(H), vspec(K),
+                pl.BlockSpec((1, 1, 8, K), lambda b_, s: (b_, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, K), lambda b_, s: (b_, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, H), lambda b_, s: (b_, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=6 * Bp * S * K * H,
+                bytes_accessed=(4 * x.size + 2 * Bp * S * H) * x.dtype.itemsize
+                + 2 * (w1.size + w2.size) * w1.dtype.itemsize,
+                transcendentals=2 * Bp * S * H,
+            ),
+        )(x, gamma, beta, w1, b1, w2, b2, g)
+        R = Bp * S
+        xn2 = xn.reshape(R, K)
+        dh2 = dh.reshape(R, H)
+        g2 = g.reshape(R, K).astype(x.dtype)
+        dW1 = jax.lax.dot_general(
+            xn2, dh2.astype(x.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w1.dtype)
+        dW2 = jax.lax.dot_general(
+            hact.reshape(R, H), g2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w2.dtype)
+        db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1), keepdims=False)[None].astype(b2.dtype)
+        db1_ = jnp.sum(db1[:, :, 0], axis=(0, 1))[None].astype(b1.dtype)
+        dgamma = jnp.sum(dga[:, :, 0], axis=(0, 1))[None].astype(gamma.dtype)
+        dbeta = jnp.sum(dbe[:, :, 0], axis=(0, 1))[None].astype(beta.dtype)
+        return dx, dgamma, dbeta, dW1, db1_, dW2, db2
+
+    @jax.custom_vjp
+    def f(x, gamma, beta, w1, b1, w2, b2):
+        return run(x, gamma, beta, w1, b1, w2, b2)
+
+    def f_fwd(*args):
+        return run(*args), args
+
+    def f_bwd(res, g):
+        return run_bwd(*res, g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, gamma, beta, w1, b1, w2, b2)
 
 
 def _proj_rows_kernel(x_ref, w_ref, b_ref, o_ref):

@@ -51,15 +51,23 @@ def main():
         "bank_features": jnp.asarray(bank["bank_features"]),
     }
 
+    n_steps = int(_os.environ.get("TRAIN_STEPS", "3"))
     losses = []
     t0 = time.perf_counter()
-    for i in range(3):
+    times = []
+    for i in range(n_steps):
+        ts = time.perf_counter()
         state, metrics = step(state, batch)
-        loss = float(metrics["loss"])
+        loss = float(metrics["loss"])  # blocks
+        times.append(time.perf_counter() - ts)
         losses.append(loss)
         print(f"step {i}: loss={loss:.4f} mask={float(metrics['loss_mask']):.4f} "
               f"edge={float(metrics['loss_edge']):.4f} "
               f"({time.perf_counter() - t0:.1f}s cum)")
+    if n_steps > 3:
+        steady = times[2:]
+        print(f"steady-state step: {min(steady)*1e3:.0f} ms min / "
+              f"{sum(steady)/len(steady)*1e3:.0f} ms mean over {len(steady)}")
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], ("loss did not decrease", losses)
     print(f"FULL-SIZE TRAIN STEP OK (batch {B}, remat, bf16): "

@@ -477,6 +477,59 @@ def test_ln_mlp_residual_hidden_grid_kernel(rng, monkeypatch):
                                atol=2e-4)
 
 
+@pytest.mark.parametrize("act", ["gelu_tanh", "quick_gelu"])
+def test_ln_mlp_residual_pallas_backward_matches_xla_grad(rng, monkeypatch, act):
+    """ln_mlp_residual_bt's Pallas backward (dx/dh/hact/xn streamed, weight
+    grads via XLA dgemms, LN-param grads via per-program partials) == XLA
+    autodiff of the reference math, for EVERY input."""
+    from camouflaged_vlm_tpu.ops import linear as lin
+
+    orig = lin.pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.pop("compiler_params", None)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(lin.pl, "pallas_call", interp)
+    monkeypatch.setattr(lin, "_on_cpu", lambda: False)
+
+    B0, S, K = 2, 16, 24
+    H = 4 * K
+    x = jnp.asarray(rng.standard_normal((B0, S, K)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, K)) * 0.1 + 1, jnp.float32)
+    be = jnp.asarray(rng.standard_normal((1, K)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((K, H)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((1, H)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((H, K)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((1, K)) * 0.1, jnp.float32)
+    args = (x, g, be, w1, b1, w2, b2)
+
+    def f(*a):
+        return jnp.sum(
+            lin.ln_mlp_residual_bt(*a, eps=1e-6, activation=act) ** 2
+        )
+
+    def ref(x, g, be, w1, b1, w2, b2):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        h = xn @ w1 + b1
+        if act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=True)
+        return jnp.sum((h @ w2 + b2 + x) ** 2)
+
+    got = jax.grad(f, tuple(range(7)))(*args)
+    want = jax.grad(ref, tuple(range(7)))(*args)
+    for i, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"arg {i}",
+        )
+
+
 def test_global_pallas_backward_matches_xla_grad(rng, monkeypatch):
     """flash_qkv_packed_global's hand-written Pallas backward (flash-style,
     dk/dv accumulated across q-blocks in f32 scratch) == XLA autodiff of the
