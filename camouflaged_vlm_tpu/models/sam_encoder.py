@@ -337,12 +337,24 @@ def rel_smajor_windows(qkv_flat, rel_pos_h, rel_pos_w, win, heads, hd,
     ghd = head_group * hd
     n_g = dim // ghd
     if rblk is None:
-        rblk = make_rblk(win, rel_pos_h, rel_pos_w, hd, qkv_flat.dtype,
-                         head_group)
-    q2 = qkv_flat[:, :, :dim].reshape(-1, S, n_g, ghd)
-    rel_s = jnp.einsum(
-        "wsgc,scj->swgj", q2, rblk.astype(qkv_flat.dtype)
-    ).reshape(S, -1, heads * 32)
+        # Training / no-cache path: contract per head against the small
+        # combined table directly. The block-diagonal kron table only pays
+        # off when it is PRECOMPUTED (eval: one big tile-aligned einsum per
+        # group, zero in-graph table cost); built in-graph it costs ~28 ms
+        # of the batch-2 train step — an 8x-sparse 64 MB table write plus a
+        # layout copy per block, rebuilt again under remat (trace_train.py:
+        # 112 (196,640,256) copies/2 steps).
+        rc = make_rcomb(win, win, rel_pos_h, rel_pos_w, qkv_flat.dtype)
+        rc = rc.reshape(S, hd, 32)
+        q = qkv_flat[:, :, :dim].reshape(-1, S, heads, hd)
+        rel_s = jnp.einsum("wshr,src->swhc", q, rc).reshape(
+            S, -1, heads * 32
+        )
+    else:
+        q2 = qkv_flat[:, :, :dim].reshape(-1, S, n_g, ghd)
+        rel_s = jnp.einsum(
+            "wsgc,scj->swgj", q2, rblk.astype(qkv_flat.dtype)
+        ).reshape(S, -1, heads * 32)
     sel = make_rel_scatter(win, win, dtype=qkv_flat.dtype)
     sel32 = jnp.pad(sel, ((0, 32 - 2 * win), (0, 0)))
     return rel_s, sel32
