@@ -1,7 +1,12 @@
 """One FULL-SIZE train step on the real chip: forward + backward through all
-fused Pallas kernels (custom_vjp -> XLA formulations) + masked AdamW, with
-encoder rematerialisation. Validates production-scale training memory and
-that the loss is finite and decreases over a couple of steps."""
+fused Pallas kernels (custom_vjp -> XLA formulations) + masked AdamW.
+Validates production-scale training memory and that the loss is finite and
+decreases over a couple of steps.
+
+Knobs: TRAIN_BATCH (default 2), TRAIN_REMAT (default 0 — matching
+`CascadeConfig.full()`/cli.train's no-remat production mode; the kernels'
+custom_vjps keep only inputs as residuals so no-remat is ~15% faster and
+fits HBM up to batch 4), TRAIN_STEPS (default 3)."""
 
 from __future__ import annotations
 
@@ -23,12 +28,13 @@ def main():
         create_train_state, make_optimizer, make_train_step,
     )
 
-    B = 2
+    B = int(_os.environ.get("TRAIN_BATCH", "2"))
+    remat = _os.environ.get("TRAIN_REMAT", "0") != "0"
     base = CascadeConfig.full(dtype=jnp.bfloat16)
     cfg = CascadeConfig(
         inp_size=base.inp_size, clip_size=base.clip_size,
         prompt_embed_dim=base.prompt_embed_dim,
-        encoder=SamEncoderConfig.vit_h(dtype=jnp.bfloat16, remat=True),
+        encoder=SamEncoderConfig.vit_h(dtype=jnp.bfloat16, remat=remat),
         decoder=base.decoder, clip=base.clip,
     )
     model = OVCOSCascade(cfg)
@@ -70,7 +76,7 @@ def main():
               f"{sum(steady)/len(steady)*1e3:.0f} ms mean over {len(steady)}")
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], ("loss did not decrease", losses)
-    print(f"FULL-SIZE TRAIN STEP OK (batch {B}, remat, bf16): "
+    print(f"FULL-SIZE TRAIN STEP OK (batch {B}, remat={remat}, bf16): "
           f"losses {', '.join(f'{x:.4f}' for x in losses)}")
 
 
