@@ -33,8 +33,8 @@ def main() -> None:
     import torch
 
     from ..factory import build_full_cascade, build_tiny_cascade
-    from ..io.checkpoint import restore_checkpoint_host
-    from ..io.convert import export_state_dict, cascade_key_map
+    from ..io.checkpoint import restore_train_params_host
+    from ..io.convert import export_cascade_checkpoint
 
     if args.config:
         from ..config import cascade_config_from_yaml
@@ -43,27 +43,8 @@ def main() -> None:
     else:
         _, cfg = (build_tiny_cascade() if args.tiny else build_full_cascade())
 
-    tree = restore_checkpoint_host(args.checkpoint)
-    # cli/train.py saves the PARTITIONED TrainState (trainable/frozen flat
-    # dicts whose tuple keys orbax stringifies); accept a bare params tree
-    # too.
-    if isinstance(tree, dict) and "trainable" in tree and "frozen" in tree:
-        import ast
-
-        from flax import traverse_util
-
-        flat = {}
-        for part in ("trainable", "frozen"):
-            for k, v in tree[part].items():
-                key = ast.literal_eval(k) if isinstance(k, str) else k
-                flat[key if isinstance(key, tuple) else (key,)] = v
-        params = traverse_util.unflatten_dict(flat)
-    else:
-        params = tree
-    if isinstance(params, dict) and "params" in params:
-        params = params["params"]
-
-    sd, missing = export_state_dict(params, cascade_key_map(cfg), strict=args.strict)
+    params = restore_train_params_host(args.checkpoint)
+    sd, missing = export_cascade_checkpoint(params, cfg, strict=args.strict)
     torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, args.out)
     print(f"wrote {args.out}: {len(sd)} tensors"
           + (f" ({len(missing)} mapped params absent: {missing[:3]}...)" if missing else ""))

@@ -168,6 +168,16 @@ def main():
     # the accumulator in that sequence), so the chain follows that order
     # regardless of how --templates is spelled (ADVICE round-2).
     ref_order = ["imagenet80", "camoprompts", "__gpt__", "attributes"]
+    dropped = [m for m in modes if m not in ref_order]
+    if dropped:
+        # TEMPLATE_SETS is the extension point; a new set also needs a slot
+        # in the reference ensembling order above — fail loudly rather than
+        # silently writing a bank that excludes it.
+        raise SystemExit(
+            f"template set(s) {dropped} have no position in the reference "
+            f"ensembling order {ref_order}; add them to ref_order in "
+            "cli/precompute_text_bank.py"
+        )
     modes = [m for m in ref_order if m in modes or (m == "__gpt__" and args.gpt_json)]
     banks = []
     for mode in modes:

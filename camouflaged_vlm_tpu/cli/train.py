@@ -75,8 +75,9 @@ def main():
         help="rematerialise encoder blocks in the backward pass. The fused "
         "kernels' custom_vjps keep only their INPUTS as residuals, so "
         "no-remat (default) stores just per-block kernel I/O and is ~15%% "
-        "faster; ViT-H fits HBM without remat up to per-chip batch ~8 "
-        "(scripts/train_step_fullsize_tpu.py). Use for larger batches.",
+        "faster; ViT-H fits a 16 GB chip without remat up to per-chip batch "
+        "4 (batch 8 OOMs — scripts/train_step_fullsize_tpu.py). Use for "
+        "larger per-chip batches.",
     )
     p.add_argument(
         "--stop-after-epoch", type=int, default=None,

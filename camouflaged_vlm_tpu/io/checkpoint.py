@@ -41,6 +41,29 @@ def restore_checkpoint_host(path: str) -> Any:
     return ckptr.restore(path, restore_args=restore_args)
 
 
+def restore_train_params_host(path: str) -> Any:
+    """Restore a `cli/train.py` checkpoint as a host-numpy flax params tree.
+
+    The saved TrainState keeps `trainable`/`frozen` as FLAT dicts whose tuple
+    keys orbax stringifies on save; this helper owns that format (the repr
+    round-trip + unflatten) so its consumers — `cli/export_checkpoint` and
+    `scripts/ab_trained_numeric.py` — cannot drift. A bare params tree (or a
+    `{'params': ...}` variables dict) passes through unchanged."""
+    import ast
+
+    from flax import traverse_util
+
+    tree = restore_checkpoint_host(path)
+    if isinstance(tree, dict) and "trainable" in tree and "frozen" in tree:
+        flat = {}
+        for part in ("trainable", "frozen"):
+            for k, v in tree[part].items():
+                key = ast.literal_eval(k) if isinstance(k, str) else k
+                flat[key if isinstance(key, tuple) else (key,)] = v
+        return traverse_util.unflatten_dict(flat)
+    return tree
+
+
 def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()

@@ -385,15 +385,16 @@ def export_state_dict(
 
 
 def export_cascade_checkpoint(
-    params: Dict, cfg: CascadeConfig
+    params: Dict, cfg: CascadeConfig, strict: bool = False
 ) -> Tuple[Dict[str, np.ndarray], List[str]]:
     """Flax cascade params -> the reference's `model.state_dict()` layout
     (save site: `/root/reference/train_ovcos_maskdecoder_edge.py` best/last
     `torch.save`), so checkpoints trained here can be loaded by the
     reference's eval/demo tooling. Accepts either the full variables dict
-    ({'params': ...}) or the bare 'params' collection."""
+    ({'params': ...}) or the bare 'params' collection. `strict` fails on any
+    mapped param missing from the tree instead of reporting it."""
     tree = params.get("params", params)
-    return export_state_dict(tree, cascade_key_map(cfg))
+    return export_state_dict(tree, cascade_key_map(cfg), strict=strict)
 
 
 def merge_into_params(params: Dict, tree: Dict) -> Dict:

@@ -613,9 +613,9 @@ class Attention(nn.Module):
                 # rel arrives position-major (N, B, heads, H+W): the rel
                 # einsum's natural batched-matmul layout, consumed directly
                 # by the kernel (scripts/probe_relv2.py: -1.4 ms/block vs the
-                # two-einsum + concat + pad + transpose chain, bit-exact).
-                # by the kernel; the separable bias itself is rebuilt on the
-                # VPU from transposed score tiles (scripts/probe_gbias.py).
+                # two-einsum + concat + pad + transpose chain, bit-exact);
+                # the separable bias itself is rebuilt on the VPU from
+                # transposed score tiles (scripts/probe_gbias.py).
                 rcg = self._rel_cache("rcg")
                 if rcg is not None and rcg.shape[:2] != (H, W):
                     rcg = None  # cache built for a different input size

@@ -57,6 +57,24 @@ _LANE_ALIGN = 128
 # — f32 exp over/underflow bounds. LN'd ViT logits measure |s| < 30.
 _SOFTMAX_SHIFT = 20.0
 
+# NaN guard for the const-shift kernels: clamp exp's argument to ±_EXP_CLAMP.
+# Inside (SHIFT-80, SHIFT+80) — which contains the measured |s| < 30 band
+# with huge margin — clip is the IDENTITY, so production numerics are
+# bit-unchanged (scripts/probe_softclamp.py: perf-neutral, err 0.0e+0).
+# Outside it (a diverging run, an LR spike) the unguarded exp overflows to
+# inf and p/l = inf/inf = NaN — silently, and only on the TPU kernel path,
+# since the XLA ref/VJP keeps max-subtract; with the clamp the probabilities
+# saturate but stay FINITE, so divergence surfaces in the loss instead of as
+# a kernel-path-only NaN that CPU repros can't reproduce.
+_EXP_CLAMP = 80.0
+
+
+def _shift_exp(s):
+    """exp(s - _SOFTMAX_SHIFT) with the argument clamped to f32's finite
+    band. Used identically by every const-shift forward AND backward kernel
+    so recomputed probabilities match the forward bit-for-bit."""
+    return jnp.exp(jnp.clip(s - _SOFTMAX_SHIFT, -_EXP_CLAMP, _EXP_CLAMP))
+
 
 def _on_cpu() -> bool:
     """Kernel wrappers degrade to their XLA reference on CPU so the fused
@@ -236,6 +254,11 @@ def flash_qkv_relpos_windows(
         v = jnp.moveaxis(qkv[:, :, :, 2 * heads :], 3, 1)
         relh = jnp.moveaxis(rel, 3, 1)  # (B, heads, nwin, Nw, hw)
         return xla_attention_relpos(q, k, v, relh, sel)
+
+    if _on_cpu():
+        # like every other kernel wrapper: degrade to the XLA reference on
+        # CPU (fused_attention_enabled no longer excludes the CPU backend)
+        return ref(qkv, rel, sel)
 
     run = lambda qkv, rel, sel: pl.pallas_call(
         kernel,
@@ -430,7 +453,7 @@ def _qkv_packed_windows_s_kernel(
             # drops the (Nw, Nw) max reduce+subtract on the MXU->VPU critical
             # path — scripts/probe_wsoft.py: 2.546 -> 2.243 ms per windowed
             # block at batch 8 (-12%)
-            p = jnp.exp(s - _SOFTMAX_SHIFT)
+            p = _shift_exp(s)
             l = jnp.sum(p, axis=-1, keepdims=True)
             p = (p / l).astype(v.dtype)
             # d-major output (see _qkv_packed_windows_kernel)
@@ -472,7 +495,7 @@ def _qkv_packed_windows_s_bwd_kernel(
             s += jax.lax.dot(
                 rel.astype(q.dtype), sel, preferred_element_type=jnp.float32
             )
-            p = jnp.exp(s - _SOFTMAX_SHIFT)
+            p = _shift_exp(s)
             l = jnp.sum(p, axis=-1, keepdims=True)
             P = p / l                      # (Nw_q, Nw_k) f32
             Pb = P.astype(q.dtype)
@@ -705,8 +728,8 @@ def _qkv_packed_edge_kernel(
         # max+maximum(lp) stabilisation — probe_wsoft.py: 0.829 -> 0.728 ms
         # per edge block at batch 8 (-12%); exp(-1e30 - SHIFT) on the dummy
         # columns still flushes to exactly 0.
-        p = jnp.exp(s - _SOFTMAX_SHIFT)
-        pp = jnp.exp(lp - _SOFTMAX_SHIFT)  # virtual pad key's mass (n, R, 1)
+        p = _shift_exp(s)
+        pp = _shift_exp(lp)  # virtual pad key's mass (n, R, 1)
         l = jnp.sum(p, axis=-1, keepdims=True) + pp
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
         ot = jax.lax.dot_general(
@@ -841,7 +864,7 @@ def _qkv_packed_plain_kernel(scale, head_group, d, q_ref, k_ref, v_ref, o_ref):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (S, S)
         # constant-shift softmax (see _SOFTMAX_SHIFT / probe_wsoft.py)
-        p = jnp.exp(s - _SOFTMAX_SHIFT)
+        p = _shift_exp(s)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(v.dtype)
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
@@ -960,7 +983,7 @@ def _qkv_packed_global_kernel(scale, head_group, d, H, W, q_ref, k_ref, v_ref, r
         # every column has some score above SHIFT - 87; LN'd ViT-H logits
         # measure |s| < 30. The XLA ref/VJP below keeps the max-subtract —
         # mathematically identical, so parity tests still anchor this path.
-        p = jnp.exp(sT - _SOFTMAX_SHIFT)
+        p = _shift_exp(sT)
         l = jnp.sum(p, axis=0, keepdims=True)
         p = (p / l).astype(v.dtype)
         # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
@@ -1002,7 +1025,7 @@ def _qkv_packed_global_bwd_kernel(
         BhT = jnp.broadcast_to(bh[:, None, :], (H, W, block_q)).reshape(N, block_q)
         BwT = jnp.broadcast_to(bw[None, :, :], (H, W, block_q)).reshape(N, block_q)
         sT = sT + BhT.astype(jnp.float32) + BwT.astype(jnp.float32)
-        pT = jnp.exp(sT - _SOFTMAX_SHIFT)
+        pT = _shift_exp(sT)
         l = jnp.sum(pT, axis=0, keepdims=True)
         PT = pT / l                           # (N, block_q) f32
         PTb = PT.astype(q.dtype)

@@ -90,17 +90,11 @@ def main():
     from camouflaged_vlm_tpu.data.loader import iter_eval_batches
     from camouflaged_vlm_tpu.data.ovcamo import OVCamoIndex
     from camouflaged_vlm_tpu.factory import build_tiny_cascade, make_bank_inputs
-    from camouflaged_vlm_tpu.io.checkpoint import restore_checkpoint_host
+    from camouflaged_vlm_tpu.io.checkpoint import restore_train_params_host
     from camouflaged_vlm_tpu.models.cascade import OVCOSCascade
-    from camouflaged_vlm_tpu.train.train_step import combine_params
     import yaml
 
-    import ast
-
-    state = restore_checkpoint_host(f"{save_dir}/ckpt_last")
-    # flat-dict tuple keys round-trip through orbax as their repr strings
-    parse = lambda d: {ast.literal_eval(k): v for k, v in d.items()}
-    params_np = combine_params(parse(state["trainable"]), parse(state["frozen"]))
+    params_np = restore_train_params_host(f"{save_dir}/ckpt_last")
 
     with open(info) as f:
         dataset_info = yaml.safe_load(f)

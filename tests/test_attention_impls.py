@@ -683,3 +683,37 @@ def test_windows_s_pallas_backward_matches_xla_grad(rng, monkeypatch):
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_const_shift_softmax_out_of_band_scores_stay_finite(monkeypatch):
+    """The const-shift kernels clamp exp's argument (`_shift_exp`): scores
+    far outside the (SHIFT-87, SHIFT+88) exactness band — a diverging run,
+    an LR spike — must saturate to finite probabilities instead of the
+    unguarded inf/inf = NaN (which only reproduced on the TPU kernel path;
+    the XLA ref keeps max-subtract)."""
+    _interp(monkeypatch)
+    heads, head_group = 2, 2
+    H = W = 4
+    BW, d = 8, 64
+    N = H * W
+    hw = H + W
+    scale = d ** -0.5
+    sel32 = jnp.pad(fa.make_rel_scatter(H, W, dtype=jnp.float32),
+                    ((0, 32 - hw), (0, 0)))
+    rel_s = jnp.zeros((N, BW, heads * 32), jnp.float32)
+
+    for ksign, regime in [(+1.0, "overflow"), (-1.0, "underflow")]:
+        # constant q/k blocks -> every score is ±c^2*d*scale ~ ±200,
+        # far outside the band in both directions
+        qkv = np.zeros((BW, N, 3 * heads * d), np.float32)
+        qkv[:, :, : heads * d] = 5.0
+        qkv[:, :, heads * d : 2 * heads * d] = 5.0 * ksign
+        qkv[:, :, 2 * heads * d :] = 1.0  # v
+        got = fa.flash_qkv_packed_windows_s(
+            jnp.asarray(qkv), rel_s, sel32, scale, heads, d,
+            head_group=head_group,
+        )
+        assert np.isfinite(np.asarray(got)).all(), regime
+        # probabilities saturate uniform here (all scores equal), so the
+        # output is exactly v's value
+        np.testing.assert_allclose(np.asarray(got), 1.0, atol=1e-4)

@@ -176,3 +176,35 @@ def test_maple_checkpoint_conversion(tiny_setup):
     np.testing.assert_array_equal(
         got["clip_model/prompt_learner/ctx"], flat["clip_model/prompt_learner/ctx"]
     )
+
+
+def test_restore_train_params_host_train_state_format(tiny_setup, tmp_path):
+    """`restore_train_params_host` owns the orbax TrainState key format: the
+    partitioned trainable/frozen flat dicts round-trip (tuple keys come back
+    as repr strings) into the original params tree. The export CLI and
+    scripts/ab_trained_numeric.py both restore through this helper."""
+    from camouflaged_vlm_tpu.io.checkpoint import (
+        restore_train_params_host,
+        save_checkpoint,
+    )
+    from camouflaged_vlm_tpu.train.optim import make_optimizer
+    from camouflaged_vlm_tpu.train.train_step import create_train_state
+
+    cfg, model, bank, params = tiny_setup
+    state = create_train_state(params, make_optimizer(params))
+    path = tmp_path / "ckpt"
+    save_checkpoint(str(path), state)
+
+    got = restore_train_params_host(str(path))
+    want = _flatten(jax.tree.map(np.asarray, params["params"]))
+    got_flat = _flatten(jax.tree.map(np.asarray, got["params"]))
+    assert set(got_flat) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got_flat[k], want[k], err_msg=k)
+
+    # bare params trees pass through unchanged
+    save_checkpoint(str(tmp_path / "bare"), params)
+    bare = restore_train_params_host(str(tmp_path / "bare"))
+    got_flat = _flatten(jax.tree.map(np.asarray, bare["params"]))
+    for k in want:
+        np.testing.assert_array_equal(got_flat[k], want[k], err_msg=k)
