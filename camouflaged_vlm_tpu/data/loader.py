@@ -9,8 +9,9 @@ compute thanks to async dispatch).
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Optional
+from typing import Callable, Iterator, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -79,21 +80,44 @@ def iter_eval_batches(
     prefetch: int = 2,
     raw_uint8: bool = False,
 ) -> Iterator[List[EvalSample]]:
-    """Yield lists of EvalSamples (last batch may be short)."""
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        futures = []
-        for s in index.samples:
-            futures.append(
-                pool.submit(_load_eval_sample, s, inp_size, clip_size, raw_uint8)
-            )
-        batch: List[EvalSample] = []
-        for fut in futures:
-            batch.append(fut.result())
-            if len(batch) == batch_size:
-                yield batch
-                batch = []
-        if batch:
+    """Yield lists of EvalSamples (last batch may be short).
+
+    Submission is BOUNDED: at most `num_workers + prefetch * batch_size`
+    samples are in flight at once. Decoded 1024px fp32 samples are ~17 MB
+    each, so submitting the whole index upfront (the naive version) lets a
+    slow consumer — e.g. an eval loop bound by a slow host<->device link —
+    accumulate the entire decoded dataset in host RAM (3k images ≈ 50 GB).
+    """
+    def load(s):
+        return _load_eval_sample(s, inp_size, clip_size, raw_uint8)
+
+    batch: List[EvalSample] = []
+    for item in _map_bounded(
+        load, index.samples, num_workers, num_workers + prefetch * batch_size
+    ):
+        batch.append(item)
+        if len(batch) == batch_size:
             yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def _map_bounded(
+    load: Callable, items: Sequence, num_workers: int, window: int
+) -> Iterator:
+    """`pool.map(load, items)` in submission order with at most `window`
+    results in flight — back-pressure so a slow consumer never accumulates
+    the whole decoded dataset in host RAM."""
+    window = max(window, 1)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending: deque = deque()
+        next_i = 0
+        while next_i < len(items) or pending:
+            while next_i < len(items) and len(pending) < window:
+                pending.append(pool.submit(load, items[next_i]))
+                next_i += 1
+            yield pending.popleft().result()
 
 
 def iter_train_batches(
@@ -134,20 +158,28 @@ def iter_train_batches(
             s.class_id,
         )
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            sl = slice(start, start + batch_size)
-            chunk = list(pool.map(load, zip(order[sl], flips[sl])))
-            inp, gt, cimg, label = zip(*chunk)
-            yield {
-                "inp": np.stack(inp),
-                "gt": np.stack(gt),
-                "clip_image": np.stack(cimg),
-                "clip_mask": np.broadcast_to(
-                    clip_ones_alpha(clip_size), (batch_size, clip_size, clip_size, 1)
-                ).copy(),
-                "label_id": np.asarray(label, np.int32),
-            }
+    n_full = (len(order) // batch_size) * batch_size
+    items = list(zip(order[:n_full], flips[:n_full]))
+    # Per-sample bounded prefetch pipelines decode across batch boundaries:
+    # while the trainer runs batch k on-device, workers are already decoding
+    # batch k+1 (the old per-batch pool.map stalled at every batch edge).
+    stream = _map_bounded(load, items, num_workers, num_workers + 2 * batch_size)
+    chunk = []
+    for item in stream:
+        chunk.append(item)
+        if len(chunk) < batch_size:
+            continue
+        inp, gt, cimg, label = zip(*chunk)
+        chunk = []
+        yield {
+            "inp": np.stack(inp),
+            "gt": np.stack(gt),
+            "clip_image": np.stack(cimg),
+            "clip_mask": np.broadcast_to(
+                clip_ones_alpha(clip_size), (batch_size, clip_size, clip_size, 1)
+            ).copy(),
+            "label_id": np.asarray(label, np.int32),
+        }
 
 
 def iter_maple_train_batches(
@@ -181,13 +213,18 @@ def iter_maple_train_batches(
             s.class_id,
         )
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            sl = slice(start, start + batch_size)
-            chunk = list(pool.map(load, zip(order[sl], flips[sl])))
-            cimg, alpha, label = zip(*chunk)
-            yield {
-                "clip_image": np.stack(cimg),
-                "clip_alpha": np.stack(alpha),
-                "label_id": np.asarray(label, np.int32),
-            }
+    n_full = (len(order) // batch_size) * batch_size
+    items = list(zip(order[:n_full], flips[:n_full]))
+    stream = _map_bounded(load, items, num_workers, num_workers + 2 * batch_size)
+    chunk = []
+    for item in stream:
+        chunk.append(item)
+        if len(chunk) < batch_size:
+            continue
+        cimg, alpha, label = zip(*chunk)
+        chunk = []
+        yield {
+            "clip_image": np.stack(cimg),
+            "clip_alpha": np.stack(alpha),
+            "label_id": np.asarray(label, np.int32),
+        }

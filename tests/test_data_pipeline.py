@@ -230,3 +230,34 @@ def test_data_parallel_eval_matches_single_device(synthetic_dataset):
     )
     for key in ("sm", "wfm", "mae", "avgiou", "ori_mae", "accuracy"):
         assert abs(single[key] - sharded[key]) < 1e-6, (key, single[key], sharded[key])
+
+
+def test_map_bounded_backpressure_and_order():
+    """_map_bounded must (a) preserve submission order and (b) never start
+    more loads than consumed + window, so a slow consumer cannot accumulate
+    the whole decoded dataset in RAM (loader.py's eval/train prefetch)."""
+    import threading
+    import time
+
+    from camouflaged_vlm_tpu.data.loader import _map_bounded
+
+    started = []
+    lock = threading.Lock()
+
+    def load(i):
+        with lock:
+            started.append(i)
+        return i * i
+
+    n, window = 64, 6
+    out = []
+    for consumed, val in enumerate(_map_bounded(load, list(range(n)), 2, window)):
+        # give workers every chance to over-run the window if they could
+        time.sleep(0.002)
+        with lock:
+            assert len(started) <= consumed + 1 + window, (
+                f"{len(started)} loads started after consuming {consumed + 1} "
+                f"with window {window}"
+            )
+        out.append(val)
+    assert out == [i * i for i in range(n)]
