@@ -80,6 +80,15 @@ def main():
         "larger per-chip batches.",
     )
     p.add_argument(
+        "--accum-steps", type=int, default=1,
+        help="gradient accumulation: split each global batch into this many "
+        "sequentially-scanned microbatches inside the jitted step (one "
+        "optimizer update per global batch). Activation memory drops to one "
+        "microbatch's — e.g. per-chip batch 8 trains no-remat as 2x4 "
+        "microbatches, faster than --remat (PERF.md: batch-4 no-remat is "
+        "the activation-memory sweet spot).",
+    )
+    p.add_argument(
         "--stop-after-epoch", type=int, default=None,
         help="fault injection: exit cleanly after this epoch's checkpoint "
         "(simulates a kill for resume testing)",
@@ -168,7 +177,10 @@ def main():
 
     mesh = make_mesh(n_model=args.n_model)
     n_data = mesh.shape["data"]
-    assert args.batch_size % n_data == 0, (args.batch_size, n_data)
+    accum = max(1, args.accum_steps)
+    assert args.batch_size % accum == 0, (args.batch_size, accum)
+    micro_bs = args.batch_size // accum
+    assert micro_bs % n_data == 0, (micro_bs, n_data)
     params = shard_params(mesh, params)
 
     steps_per_epoch = max(1, len(train_index) // args.batch_size)
@@ -216,10 +228,16 @@ def main():
     # params+optimizer (ViT-H + AdamW moments is multi-GB), which OOMs the
     # full-size config on a single v5e chip.
     train_step = jax.jit(
-        make_train_step(model, tx, loss_mode=args.loss), donate_argnums=(0,)
+        make_train_step(model, tx, loss_mode=args.loss, accum_steps=accum),
+        donate_argnums=(0,),
     )
 
-    batch_shard = NamedSharding(mesh, P("data", None, None, None))
+    if accum > 1:
+        # (A, B/A, H, W, C): the data axis shards the per-microbatch batch
+        # dim; the reshape happens host-side so no resharding collective.
+        batch_shard = NamedSharding(mesh, P(None, "data", None, None, None))
+    else:
+        batch_shard = NamedSharding(mesh, P("data", None, None, None))
     from ..parallel import make_replicated_array
 
     static_bank = {k: make_replicated_array(mesh, np.asarray(v)) for k, v in bank.items()}
@@ -235,17 +253,14 @@ def main():
             for batch in iter_train_batches(
                 train_index, args.batch_size, rng, cfg.inp_size, cfg.clip_size
             ):
-                device_batch = {
-                    "inp": make_global_batch_array(batch_shard, batch["inp"]),
-                    "gt": make_global_batch_array(batch_shard, batch["gt"]),
-                    "clip_image": make_global_batch_array(
-                        batch_shard, batch["clip_image"]
-                    ),
-                    "clip_mask": make_global_batch_array(
-                        batch_shard, batch["clip_mask"]
-                    ),
-                    **static_bank,
-                }
+                device_batch = {**static_bank}
+                for k in ("inp", "gt", "clip_image", "clip_mask"):
+                    x = batch[k]
+                    if accum > 1:
+                        x = x.reshape((accum, micro_bs) + x.shape[1:])
+                    device_batch[k] = make_global_batch_array(
+                        batch_shard, x, batch_axis=1 if accum > 1 else 0
+                    )
                 state, metrics = train_step(state, device_batch)
                 losses.append(metrics)
             losses = {

@@ -74,7 +74,7 @@ def make_replicated_array(mesh: Mesh, x):
     return _put(x, NamedSharding(mesh, P()))
 
 
-def make_global_batch_array(sharding: NamedSharding, global_arr):
+def make_global_batch_array(sharding: NamedSharding, global_arr, batch_axis=0):
     """Assemble a batch-axis-sharded global jax.Array from host data.
 
     Single-process: a plain device_put. Multi-process (after
@@ -83,13 +83,17 @@ def make_global_batch_array(sharding: NamedSharding, global_arr):
     exchange — the multi-host replacement for the reference's per-rank
     DistributedSampler, `train_ovcos_maskdecoder_edge.py:287-293`) and
     contributes only the contiguous row slice its addressable devices own.
-    Requires the batch axis to divide evenly across processes."""
+    Requires the batch axis to divide evenly across processes.
+    `batch_axis=1` for gradient-accumulation tensors ((A, B/A, ...) — the
+    leading microbatch axis is unsharded)."""
     if jax.process_count() == 1:
         return jax.device_put(global_arr, sharding)
     import numpy as np
 
     n, p = jax.process_count(), jax.process_index()
-    B = global_arr.shape[0]
+    B = global_arr.shape[batch_axis]
     assert B % n == 0, (B, n)
-    local = np.asarray(global_arr[p * (B // n) : (p + 1) * (B // n)])
+    idx = [slice(None)] * global_arr.ndim
+    idx[batch_axis] = slice(p * (B // n), (p + 1) * (B // n))
+    local = np.asarray(global_arr[tuple(idx)])
     return jax.make_array_from_process_local_data(sharding, local)

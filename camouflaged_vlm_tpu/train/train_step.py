@@ -74,13 +74,32 @@ def create_train_state(
     )
 
 
+# Batch tensors that carry a per-image leading dim (and, under gradient
+# accumulation, a leading microbatch dim). Everything else in the batch dict
+# (text bank tensors) is image-independent and shared across microbatches.
+SCANNED_BATCH_KEYS = ("inp", "gt", "clip_image", "clip_mask")
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_mode: str = "iou",
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """batch keys: inp (B,H,W,3), gt (B,H,W,1), clip_image (B,h,w,3),
-    clip_mask (B,h,w,1), prefix, suffix, eot_indices, bank_features."""
+    clip_mask (B,h,w,1), prefix, suffix, eot_indices, bank_features.
+
+    With `accum_steps > 1` the image tensors arrive with a leading
+    microbatch axis ((A, B/A, ...) — reshaped HOST-side so the data-axis
+    sharding stays on the per-microbatch batch dim; an in-jit reshape of a
+    batch-sharded axis would insert a resharding collective) and the step
+    `lax.scan`s the forward+backward over microbatches, averaging gradients
+    before ONE optimizer update. Activation memory is one microbatch's
+    (ViT-H no-remat fits per-chip microbatch 4 on 16 GB; PERF.md), the
+    extra carry is just the trainable-subtree gradients. Per-image-mean
+    losses (iou/bce) average to exactly the full-batch loss; bbce's
+    batch-level negative weight is computed per microbatch (the standard
+    gradient-accumulation deviation)."""
 
     def loss_fn(trainable, frozen, batch):
         params = combine_params(trainable, frozen)
@@ -97,13 +116,11 @@ def make_train_step(
         total, parts = segmentation_loss(masks, edges, batch["gt"], loss_mode)
         return total, parts
 
-    def train_step(state: TrainState, batch):
-        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable, state.frozen, batch
-        )
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def apply(state: TrainState, grads, metrics):
         updates, new_opt_state = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
-        metrics = {"loss": total, **parts}
         return (
             state.replace(
                 step=state.step + 1,
@@ -113,4 +130,31 @@ def make_train_step(
             metrics,
         )
 
-    return train_step
+    def train_step(state: TrainState, batch):
+        (total, parts), grads = grad_fn(state.trainable, state.frozen, batch)
+        return apply(state, grads, {"loss": total, **parts})
+
+    if accum_steps == 1:
+        return train_step
+
+    def train_step_accum(state: TrainState, batch):
+        scanned = {k: batch[k] for k in SCANNED_BATCH_KEYS}
+        static = {k: v for k, v in batch.items() if k not in SCANNED_BATCH_KEYS}
+
+        def micro(gsum, mb):
+            (total, parts), g = grad_fn(
+                state.trainable, state.frozen, {**mb, **static}
+            )
+            return (
+                jax.tree.map(jnp.add, gsum, g),
+                {"loss": total, **parts},
+            )
+
+        gsum, metrics = jax.lax.scan(
+            micro, jax.tree.map(jnp.zeros_like, state.trainable), scanned
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+        metrics = jax.tree.map(lambda m: m.mean(0), metrics)
+        return apply(state, grads, metrics)
+
+    return train_step_accum

@@ -6,7 +6,10 @@ decreases over a couple of steps.
 Knobs: TRAIN_BATCH (default 2), TRAIN_REMAT (default 0 — matching
 `CascadeConfig.full()`/cli.train's no-remat production mode; the kernels'
 custom_vjps keep only inputs as residuals so no-remat is ~15% faster and
-fits HBM up to batch 4), TRAIN_STEPS (default 3)."""
+fits HBM up to batch 4), TRAIN_STEPS (default 3), TRAIN_ACCUM (default 1 —
+gradient accumulation: TRAIN_BATCH is the GLOBAL batch, scanned as
+TRAIN_ACCUM microbatches of TRAIN_BATCH/TRAIN_ACCUM; e.g. BATCH=8 ACCUM=2
+trains effective batch 8 no-remat on one 16 GB chip)."""
 
 from __future__ import annotations
 
@@ -41,9 +44,13 @@ def main():
     bank = make_bank_inputs(cfg, ["cat", "owl", "snow leopard", "scorpionfish"])
     params = init_cascade_params(model, cfg, bank, batch=1)
 
+    accum = int(_os.environ.get("TRAIN_ACCUM", "1"))
+    assert B % max(accum, 1) == 0, (B, accum)
     tx = make_optimizer(params)
     state = create_train_state(params, tx)
-    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(model, tx, accum_steps=accum), donate_argnums=(0,)
+    )
 
     rng = np.random.default_rng(0)
     batch = {
@@ -56,6 +63,10 @@ def main():
         "eot_indices": jnp.asarray(bank["eot_indices"]),
         "bank_features": jnp.asarray(bank["bank_features"]),
     }
+    if accum > 1:
+        for k in ("inp", "gt", "clip_image", "clip_mask"):
+            x = batch[k]
+            batch[k] = x.reshape((accum, B // accum) + x.shape[1:])
 
     n_steps = int(_os.environ.get("TRAIN_STEPS", "3"))
     losses = []

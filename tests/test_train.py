@@ -231,3 +231,89 @@ def test_maple_train_step_updates_only_prompt_learner(tiny_train_setup, rng):
         s, m = step(s, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_grad_accum_matches_full_batch(tiny_train_setup, rng):
+    """accum_steps=2 over a batch of 4 must produce the same update as one
+    full-batch step: iou/bce losses are per-image means, so the microbatch
+    gradient average equals the full-batch gradient exactly (up to
+    reduction-order rounding). SGD isolates the accumulation math — Adam's
+    g/sqrt(v) normalisation amplifies rounding-level gradient differences
+    on near-zero-gradient params to O(lr), which is an optimizer property,
+    not an accumulation bug."""
+    import optax
+
+    cfg, model, bank, params = tiny_train_setup
+    tx = optax.sgd(0.1)
+    batch = _make_batch(cfg, bank, rng, B=4)
+
+    state1 = create_train_state(params, tx)
+    full_step = jax.jit(make_train_step(model, tx))
+    s_full, m_full = full_step(state1, batch)
+
+    from camouflaged_vlm_tpu.train.train_step import SCANNED_BATCH_KEYS
+
+    accum_batch = dict(batch)
+    for k in SCANNED_BATCH_KEYS:
+        x = batch[k]
+        accum_batch[k] = x.reshape((2, 2) + x.shape[1:])
+    state2 = create_train_state(params, tx)
+    accum_step = jax.jit(make_train_step(model, tx, accum_steps=2))
+    s_accum, m_accum = accum_step(state2, accum_batch)
+
+    np.testing.assert_allclose(
+        float(m_full["loss"]), float(m_accum["loss"]), rtol=2e-5
+    )
+    flat_f = jax.tree_util.tree_flatten_with_path(s_full.trainable)[0]
+    flat_a = {p: v for p, v in jax.tree_util.tree_flatten_with_path(s_accum.trainable)[0]}
+    for p, v in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_a[p]), rtol=1e-4, atol=1e-6,
+            err_msg=str(p),
+        )
+    assert int(s_accum.step) == 1  # one optimizer update, not accum_steps
+
+
+def test_grad_accum_dp_mesh_matches_unsharded(tiny_train_setup, rng):
+    """The accum step under a data-parallel mesh (microbatch dim sharded,
+    leading accum dim replicated — cli/train.py's accum>1 sharding) matches
+    the same step unsharded."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from camouflaged_vlm_tpu.parallel import make_mesh, shard_params
+    from camouflaged_vlm_tpu.train.train_step import SCANNED_BATCH_KEYS
+
+    cfg, model, bank, params = tiny_train_setup
+    tx = optax.sgd(0.1)
+    batch = _make_batch(cfg, bank, rng, B=4)
+    accum_batch = dict(batch)
+    for k in SCANNED_BATCH_KEYS:
+        x = batch[k]
+        accum_batch[k] = x.reshape((2, 2) + x.shape[1:])
+    step = jax.jit(make_train_step(model, tx, accum_steps=2))
+
+    s_plain, m_plain = step(create_train_state(params, tx), accum_batch)
+
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    sharded_params = shard_params(mesh, params)
+    sharded_batch = {}
+    for k, v in accum_batch.items():
+        spec = (
+            P(None, "data", *([None] * (v.ndim - 2)))
+            if k in SCANNED_BATCH_KEYS
+            else P()
+        )
+        sharded_batch[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    with mesh:
+        s_dp, m_dp = step(create_train_state(sharded_params, tx), sharded_batch)
+
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_dp["loss"]), rtol=2e-5
+    )
+    flat_p = jax.tree_util.tree_flatten_with_path(s_plain.trainable)[0]
+    flat_d = {p: v for p, v in jax.tree_util.tree_flatten_with_path(s_dp.trainable)[0]}
+    for p, v in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_d[p]), rtol=1e-4, atol=1e-6,
+            err_msg=str(p),
+        )
