@@ -130,7 +130,12 @@ def evaluate(
     # device rate (VERDICT round-1 weak #6). CODMetrics/OVCOSMetricer
     # accumulate via list.append (atomic; results are order-independent).
     metric_pool = ThreadPoolExecutor(max_workers=num_workers)
-    metric_futures = []
+    metric_futures = deque()
+    # Backpressure: each queued future pins a full-res f32 probability map
+    # (~4 MB at 1024px). One chip (~20 img/s) never outruns 8 metric workers,
+    # but a wide data-parallel eval can — bound the queue instead of letting
+    # it absorb the dataset.
+    max_metric_queue = 4 * num_workers
 
     def image_work(prob, s, pre_cls):
         cod.step(prob, s.gt[:, :, 0])
@@ -165,6 +170,8 @@ def evaluate(
             metric_futures.append(
                 metric_pool.submit(image_work, probs[i], s, pre_cls)
             )
+            if len(metric_futures) > max_metric_queue:
+                metric_futures.popleft().result()
         n_done += B
 
     # Pipelined loop: up to 3 dispatched batches are alive before the oldest
@@ -187,8 +194,8 @@ def evaluate(
             consume(*pending.popleft())
     while pending:
         consume(*pending.popleft())
-    for f in metric_futures:
-        f.result()  # surface worker exceptions; all image work done
+    while metric_futures:
+        metric_futures.popleft().result()  # surface worker exceptions
     metric_pool.shutdown(wait=False)
 
     ovcos = metricer.show()
