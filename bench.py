@@ -136,17 +136,20 @@ def main():
             except subprocess.TimeoutExpired:
                 per_batch[B] = f"failed: exceeded {PER_BATCH_TIMEOUT_S}s"
 
-    print(
-        json.dumps(
-            {
-                "metric": "cascade_images_per_sec_per_chip",
-                "value": round(best_ips, 3),
-                "unit": "img/s @1024px e2e (batch %d, %s)" % (best_b, args.dtype),
-                "vs_baseline": round(best_ips / 20.0, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "cascade_images_per_sec_per_chip",
+        "value": round(best_ips, 3),
+        "unit": "img/s @1024px e2e (batch %d, %s)" % (best_b, args.dtype),
+        "vs_baseline": round(best_ips / 20.0, 3),
+    }
+    if best_b == 0:
+        # every sweep batch failed — don't let a success-shaped 0.0 be
+        # recorded as a measurement
+        result["error"] = "all sweep batches failed; see per_batch"
+    print(json.dumps(result))
     print(json.dumps({"per_batch": per_batch}))
+    if best_b == 0:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
