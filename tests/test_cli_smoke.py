@@ -111,3 +111,17 @@ def test_train_maple_cli_smoke(monkeypatch, maple_dataset, tmp_path):
     # only prompt-learner tensors are trainable/exported
     assert len(npz.files) > 0
     assert all("prompt_learner" in k for k in npz.files), npz.files
+
+
+def test_profile_cli_smoke(monkeypatch, capsys):
+    """cli/profile.py wiring: tiny config, stages + end-to-end timing on CPU
+    (the only CLI no other test drives)."""
+    from camouflaged_vlm_tpu.cli import profile as profile_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "profile", "--tiny", "--batch", "1", "--iters", "1", "--warmup", "0",
+        "--dtype", "float32", "--stages",
+    ])
+    profile_cli.main()
+    out = capsys.readouterr().out
+    assert "sam encoder" in out and "clip classify" in out
