@@ -31,7 +31,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..data.ovcamo import OVCamoIndex
 from ..data.loader import iter_train_batches
 from ..parallel import make_global_batch_array, make_mesh, shard_params
-from ..train import make_optimizer, make_train_step, create_train_state
+from ..train import (
+    SCANNED_BATCH_KEYS,
+    make_optimizer,
+    make_train_step,
+    create_train_state,
+)
 from ..io.checkpoint import restore_checkpoint, save_checkpoint
 from ..utils.logging import log, set_log_file, set_quiet
 from ..utils.timer import Timer
@@ -84,9 +89,9 @@ def main():
         help="gradient accumulation: split each global batch into this many "
         "sequentially-scanned microbatches inside the jitted step (one "
         "optimizer update per global batch). Activation memory drops to one "
-        "microbatch's — e.g. per-chip batch 8 trains no-remat as 2x4 "
-        "microbatches, faster than --remat (PERF.md: batch-4 no-remat is "
-        "the activation-memory sweet spot).",
+        "microbatch's — per-chip batch 8 trains no-remat as 4x2 microbatches "
+        "at 7.31 img/s/chip vs --remat's 6.23 (measured, PERF.md accum "
+        "table; 2x4 needs a >=24 GB chip).",
     )
     p.add_argument(
         "--stop-after-epoch", type=int, default=None,
@@ -177,7 +182,9 @@ def main():
 
     mesh = make_mesh(n_model=args.n_model)
     n_data = mesh.shape["data"]
-    accum = max(1, args.accum_steps)
+    if args.accum_steps < 1:
+        p.error(f"--accum-steps must be >= 1 (got {args.accum_steps})")
+    accum = args.accum_steps
     assert args.batch_size % accum == 0, (args.batch_size, accum)
     micro_bs = args.batch_size // accum
     assert micro_bs % n_data == 0, (micro_bs, n_data)
@@ -254,7 +261,7 @@ def main():
                 train_index, args.batch_size, rng, cfg.inp_size, cfg.clip_size
             ):
                 device_batch = {**static_bank}
-                for k in ("inp", "gt", "clip_image", "clip_mask"):
+                for k in SCANNED_BATCH_KEYS:
                     x = batch[k]
                     if accum > 1:
                         x = x.reshape((accum, micro_bs) + x.shape[1:])

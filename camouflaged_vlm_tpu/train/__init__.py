@@ -7,7 +7,12 @@ from .losses import (
     segmentation_loss,
 )
 from .optim import make_optimizer, cosine_epoch_schedule, trainable_mask
-from .train_step import TrainState, make_train_step, create_train_state
+from .train_step import (
+    SCANNED_BATCH_KEYS,
+    TrainState,
+    make_train_step,
+    create_train_state,
+)
 from .maple import (
     MAPLE_TRAINABLE_SUBTREES,
     make_maple_optimizer,

@@ -140,6 +140,14 @@ def make_train_step(
     def train_step_accum(state: TrainState, batch):
         scanned = {k: batch[k] for k in SCANNED_BATCH_KEYS}
         static = {k: v for k, v in batch.items() if k not in SCANNED_BATCH_KEYS}
+        for k, v in scanned.items():
+            # a mismatched leading dim would silently mis-scale the
+            # gradient average (scan runs shape[0] iterations, the divisor
+            # below is accum_steps)
+            assert v.shape[0] == accum_steps, (
+                f"batch['{k}'] leading dim {v.shape[0]} != accum_steps "
+                f"{accum_steps}: reshape to (accum, B/accum, ...) host-side"
+            )
 
         def micro(gsum, mb):
             (total, parts), g = grad_fn(
