@@ -32,11 +32,86 @@ def _build(dc_cls, spec: Dict[str, Any], **extra):
     return dc_cls(**kwargs)
 
 
+def _from_reference_yaml(raw: Dict[str, Any]) -> Tuple[CascadeConfig, Dict[str, Any]]:
+    """Map the reference's OWN config format onto (CascadeConfig, train hp).
+
+    A reference user's `configs/ovcos-sam-vit-h-maskdecoder-edge.yaml`
+    (consumed by `/root/reference/train_ovcos_maskdecoder_edge.py:380-400`
+    via its DotDict plumbing) loads directly: `--config` auto-detects the
+    format, so switching frameworks does not require rewriting configs.
+    TPU numerics defaults (bfloat16, flash kernels) apply — pass a re-keyed
+    native yaml to override those.
+    """
+    m = raw["model"]["args"]
+    enc = dict(m.get("encoder_mode", {}))
+    # The implemented EVP variant (fft high-pass handcrafted+embedding
+    # tuning, reference models/mmseg .../sam/image_encoder.py): any other
+    # requested variant must fail loudly, not silently train the wrong one.
+    for key, want in (("name", "sam"), ("input_type", "fft"),
+                      ("prompt_type", "highpass")):
+        got = enc.get(key, want)
+        if got != want:
+            raise ValueError(
+                f"reference config encoder_mode.{key}={got!r} — only "
+                f"{want!r} is implemented (SURVEY.md §2.6)"
+            )
+    dtype = jnp.bfloat16
+    enc_spec = dict(
+        img_size=enc.get("img_size", 1024),
+        patch_size=enc.get("patch_size", 16),
+        embed_dim=enc.get("embed_dim", 1280),
+        depth=enc.get("depth", 32),
+        num_heads=enc.get("num_heads", 16),
+        mlp_ratio=float(enc.get("mlp_ratio", 4)),
+        out_chans=enc.get("out_chans", 256),
+        window_size=enc.get("window_size", 14),
+        global_attn_indexes=tuple(enc.get("global_attn_indexes", (7, 15, 23, 31))),
+        use_rel_pos=enc.get("use_rel_pos", True),
+        prompt_scale_factor=enc.get("scale_factor", 32),
+        freq_rate=enc.get("freq_nums", 0.25),
+    )
+    maple = (raw.get("MAPLE_ALPHA_CLIP") or {}).get("TRAINER", {}).get("MAPLE", {})
+    clip_spec = {}
+    if "N_CTX" in maple:
+        clip_spec["n_ctx"] = maple["N_CTX"]
+    if "PROMPT_DEPTH" in maple:
+        clip_spec["prompt_depth"] = maple["PROMPT_DEPTH"]
+    prompt_dim = enc.get("prompt_embed_dim", 256)
+    clip_size = (
+        (raw.get("MAPLE_ALPHA_CLIP") or {}).get("INPUT", {}).get("SIZE", [336])
+    )[0]
+    twt = _build(TwoWayTransformerConfig, {}, embedding_dim=prompt_dim, dtype=dtype)
+    cfg = CascadeConfig(
+        inp_size=m.get("inp_size", 1024),
+        clip_size=clip_size,
+        prompt_embed_dim=prompt_dim,
+        encoder=_build(SamEncoderConfig, enc_spec, dtype=dtype),
+        decoder=_build(
+            MaskDecoderConfig, {"transformer_dim": prompt_dim},
+            transformer=twt, dtype=dtype,
+        ),
+        clip=_build(AlphaClipConfig, clip_spec, dtype=dtype),
+    )
+    train_hp = {
+        "epochs": raw.get("epoch_max", 20),
+        "lr": (raw.get("optimizer") or {}).get("args", {}).get("lr", 2e-4),
+        "eta_min": raw.get("lr_min", 1e-7),
+        "epoch_val": raw.get("epoch_val", 2),
+        "batch_size": (raw.get("train_dataset") or {}).get("batch_size", 1),
+        "loss": m.get("loss", "iou"),
+    }
+    return cfg, train_hp
+
+
 def cascade_config_from_yaml(path: str) -> Tuple[CascadeConfig, Dict[str, Any]]:
-    """Returns (CascadeConfig, train-hyperparameter dict)."""
+    """Returns (CascadeConfig, train-hyperparameter dict). Accepts BOTH the
+    native re-keyed format (configs/*.yaml here) and the reference's own
+    format (auto-detected by its `model.args` nesting)."""
     with open(path) as f:
         raw = yaml.safe_load(f)
     m = raw["model"]
+    if "args" in m:
+        return _from_reference_yaml(raw)
     dtype = _DTYPES[m.get("dtype", "bfloat16")]
 
     dec_spec = dict(m.get("decoder", {}))
