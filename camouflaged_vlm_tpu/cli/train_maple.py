@@ -55,6 +55,12 @@ def main():
 
     os.makedirs(args.save_dir, exist_ok=True)
     set_log_file(os.path.join(args.save_dir, "log.txt"))
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.save_dir, "tensorboard"))
+    except Exception:
+        writer = None
 
     with open(args.dataset_info) as f:
         dataset_info = yaml.safe_load(f)
@@ -118,6 +124,9 @@ def main():
         acc = float(np.mean(accs)) if accs else 0.0
         log(f"[maple] epoch {epoch}/{args.epochs} loss={loss:.4f} "
             f"train-acc={acc:.4f} ({timer.t():.1f}s)")
+        if writer:
+            writer.add_scalar("maple/loss", loss, epoch)
+            writer.add_scalar("maple/train_acc", acc, epoch)
 
         save_checkpoint(os.path.join(args.save_dir, "maple_last"), state)
         if acc > best_acc:
