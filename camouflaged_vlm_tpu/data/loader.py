@@ -108,7 +108,13 @@ def _map_bounded(
 ) -> Iterator:
     """`pool.map(load, items)` in submission order with at most `window`
     results in flight — back-pressure so a slow consumer never accumulates
-    the whole decoded dataset in host RAM."""
+    the whole decoded dataset in host RAM. `num_workers=0` runs
+    synchronously (debugging decode errors without threads, matching the
+    OVCOSMetricer contract)."""
+    if num_workers <= 0:
+        for item in items:
+            yield load(item)
+        return
     window = max(window, 1)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         pending: deque = deque()

@@ -52,18 +52,25 @@ def mask_to_target(mask: Image.Image, size: int = 1024) -> np.ndarray:
 
 
 def _resize_shorter_side(img: Image.Image, n_px: int, resample) -> Image.Image:
+    # torchvision F.resize(int size): new_long = int(size * long / short) —
+    # TRUNCATED, not rounded (the reference's CLIP preprocessing,
+    # alpha_clip_rw/alpha_clip.py:79-85, is torchvision Resize+CenterCrop;
+    # a round() here shifted the resample grid 1 px for ~half of
+    # non-integer aspect ratios)
     w, h = img.size
     if w <= h:
-        new_w, new_h = n_px, max(1, round(h * n_px / w))
+        new_w, new_h = n_px, max(1, int(h * n_px / w))
     else:
-        new_w, new_h = max(1, round(w * n_px / h)), n_px
+        new_w, new_h = max(1, int(w * n_px / h)), n_px
     return img.resize((new_w, new_h), resample)
 
 
 def _center_crop(arr: np.ndarray, n_px: int) -> np.ndarray:
+    # torchvision F.center_crop: offset = int(round(diff / 2.0)) — Python
+    # banker's rounding (diff 11 -> 6, diff 13 -> 6), not floor
     h, w = arr.shape[:2]
-    top = max(0, (h - n_px) // 2)
-    left = max(0, (w - n_px) // 2)
+    top = max(0, int(round((h - n_px) / 2.0)))
+    left = max(0, int(round((w - n_px) / 2.0)))
     return arr[top : top + n_px, left : left + n_px]
 
 

@@ -219,18 +219,21 @@ def clip_key_map(
 def _prompt_learner_map(
     clip_cfg: AlphaClipConfig, torch_prefix: str = "prompt_learner", flax_prefix: str = "clip_model/prompt_learner"
 ) -> List[KeyMapEntry]:
-    m: List[KeyMapEntry] = [(f"{torch_prefix}.ctx", f"{flax_prefix}/ctx", "direct")]
-    m += _linear(f"{torch_prefix}.proj", f"{flax_prefix}/proj")
+    def j(suffix: str) -> str:  # "" prefix -> bare dassl per-model keys
+        return f"{torch_prefix}.{suffix}" if torch_prefix else suffix
+
+    m: List[KeyMapEntry] = [(j("ctx"), f"{flax_prefix}/ctx", "direct")]
+    m += _linear(j("proj"), f"{flax_prefix}/proj")
     for i in range(clip_cfg.prompt_depth - 1):
         m.append(
             (
-                f"{torch_prefix}.compound_prompts_text.{i}",
+                j(f"compound_prompts_text.{i}"),
                 f"{flax_prefix}/compound_prompts_text_{i}",
                 "direct",
             )
         )
         m += _linear(
-            f"{torch_prefix}.compound_prompt_projections.{i}",
+            j(f"compound_prompt_projections.{i}"),
             f"{flax_prefix}/compound_prompt_proj_{i}",
         )
     return m
@@ -335,9 +338,17 @@ def convert_maple_prompt_learner(sd: Dict[str, np.ndarray], clip_cfg: AlphaClipC
         for k, v in sd.items()
         if not k.endswith(("token_prefix", "token_suffix", "token_prefix_test", "token_suffix_test"))
     }
+    # dassl saves either a wrapped ("prompt_learner.ctx", ...) or a
+    # per-model bare ("ctx", "proj.weight", ...) state dict
     prefix = "prompt_learner" if any(k.startswith("prompt_learner") for k in sd) else ""
-    m = _prompt_learner_map(clip_cfg, torch_prefix=prefix or "prompt_learner")
-    return convert_state_dict(sd, m)
+    m = _prompt_learner_map(clip_cfg, torch_prefix=prefix)
+    tree, missing, used = convert_state_dict(sd, m)
+    if not used:
+        raise ValueError(
+            "MaPLe checkpoint matched no prompt-learner keys — the model "
+            f"would run with random prompts. Checkpoint keys: {sorted(sd)[:6]}..."
+        )
+    return tree, missing, used
 
 
 def _inverse_transform(kind: str, v: np.ndarray) -> np.ndarray:
@@ -419,7 +430,8 @@ def merge_into_params(params: Dict, tree: Dict) -> Dict:
                 dst[k] = v.astype(np.asarray(dst[k]).dtype) if hasattr(dst[k], "dtype") else v
         return dst
 
-    params = jax.tree.map(lambda x: x, params)  # shallow copy of structure
-    unfrozen = jax.tree_util.tree_map(lambda x: x, params)
+    # tree_map rebuilds the dict structure (fresh mutable containers, same
+    # leaves) so the caller's tree is never mutated in place
+    unfrozen = jax.tree.map(lambda x: x, params)
     merge(unfrozen["params"] if "params" in unfrozen else unfrozen, tree)
     return unfrozen

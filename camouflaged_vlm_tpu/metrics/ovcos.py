@@ -85,9 +85,16 @@ class OVCOSMetricer:
             self._records.append(_image_scores(pre, gt, match))
 
     def _gathered(self):
-        return [
+        recs = [
             r.result() if hasattr(r, "result") else r for r in self._records
         ]
+        # all futures drained — release the worker threads (a metricer per
+        # eval round would otherwise leak 8 threads per round)
+        self._records = recs
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        return recs
 
     def show(self, num_bits: int = 3) -> Dict[str, float]:
         recs = self._gathered()

@@ -60,7 +60,11 @@ def _s_object_term(vals: np.ndarray) -> float:
 def _ssim_block(pred: np.ndarray, gt: np.ndarray) -> float:
     n = pred.size
     if n <= 1:
-        return 1.0 if pred.size == gt.size else 0.0
+        # documented divergence: the vendored reference (sod_metric.py)
+        # divides by N-1 == 0 here and propagates nan for 1-pixel region
+        # blocks (GT centroid on the image border); we score the degenerate
+        # block as a perfect match instead
+        return 1.0
     x, y = pred.mean(), gt.mean()
     sx = ((pred - x) ** 2).sum() / (n - 1)
     sy = ((gt - y) ** 2).sum() / (n - 1)
@@ -86,13 +90,11 @@ def s_measure(pred: np.ndarray, gt: np.ndarray, alpha: float = 0.5) -> float:
         ((1.0 - pred) * (1.0 - gtf))[~gt]
     )
 
-    # region term: split at the (matlab 1-based) GT centroid
+    # region term: split at the (matlab 1-based) GT centroid. gt.any() is
+    # guaranteed here — the y == 0 case early-returned above.
     h, w = gt.shape
-    if gt.any():
-        cy, cx = np.argwhere(gt).mean(axis=0).round()
-        cx, cy = int(cx) + 1, int(cy) + 1
-    else:
-        cx, cy = int(round(w / 2)), int(round(h / 2))
+    cy, cx = np.argwhere(gt).mean(axis=0).round()
+    cx, cy = int(cx) + 1, int(cy) + 1
     area = h * w
     weights = (
         cx * cy / area,

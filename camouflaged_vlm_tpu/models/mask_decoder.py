@@ -156,7 +156,6 @@ class EdgeMaskDecoder(nn.Module):
         )
         hyper_masks = jnp.stack(hyper_in, axis=1)  # (B, 4, C/8)
 
-        H4, W4 = upscaled.shape[1], upscaled.shape[2]
         masks = jnp.einsum(
             "btc,bhwc->bthw", hyper_masks, upscaled, preferred_element_type=jnp.float32
         )

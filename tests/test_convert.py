@@ -177,6 +177,21 @@ def test_maple_checkpoint_conversion(tiny_setup):
         got["clip_model/prompt_learner/ctx"], flat["clip_model/prompt_learner/ctx"]
     )
 
+    # dassl PER-MODEL checkpoints save BARE keys ("ctx", "proj.weight", ...)
+    # — must convert identically, not silently produce an empty tree
+    bare = {k.split(".", 1)[1]: v for k, v in sd.items()}
+    tree_b, missing_b, used_b = convert_maple_prompt_learner(bare, clip_cfg)
+    assert not missing_b and len(used_b) == len(used)
+    np.testing.assert_array_equal(
+        _flatten(tree_b)["clip_model/prompt_learner/ctx"],
+        flat["clip_model/prompt_learner/ctx"],
+    )
+
+    # an unrelated state dict must fail loudly, never load random prompts
+    import pytest
+    with pytest.raises(ValueError, match="no prompt-learner keys"):
+        convert_maple_prompt_learner({"something.weight": np.zeros((2, 2))}, clip_cfg)
+
 
 def test_restore_train_params_host_train_state_format(tiny_setup, tmp_path):
     """`restore_train_params_host` owns the orbax TrainState key format: the

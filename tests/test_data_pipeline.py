@@ -261,3 +261,38 @@ def test_map_bounded_backpressure_and_order():
             )
         out.append(val)
     assert out == [i * i for i in range(n)]
+
+
+def test_clip_geometry_matches_torchvision_formulas():
+    """Resize/center-crop geometry against torchvision's SOURCE formulas
+    (new_long = int(size*long/short); offset = int(round(diff/2.0)) with
+    Python banker's rounding) — the reference preprocessing is torchvision
+    Resize+CenterCrop (alpha_clip_rw/alpha_clip.py:79-85). Pure-PIL oracle
+    so this cannot silently skip like the torchvision-import parity test
+    (torchvision is absent in this image)."""
+    from PIL import Image as _Image
+
+    from camouflaged_vlm_tpu.data.transforms import (
+        _center_crop,
+        _resize_shorter_side,
+    )
+
+    n = 336
+    for (w, h) in [(400, 503), (50, 70), (70, 50), (337, 500),
+                   (1000, 341), (336, 336), (200, 603), (347, 336)]:
+        out = _resize_shorter_side(_Image.new("RGB", (w, h)), n, _Image.BICUBIC)
+        ow, oh = out.size
+        if w <= h:
+            assert (ow, oh) == (n, max(1, int(h * n / w))), (w, h, ow, oh)
+        else:
+            assert (ow, oh) == (max(1, int(w * n / h)), n), (w, h, ow, oh)
+
+    # crop offsets, including the diff % 4 == 3 banker's-rounding cases
+    # (diff 11 -> offset 6, diff 13 -> offset 6, diff 9 -> offset 4)
+    for H in (n + 9, n + 11, n + 13, n + 1, n + 2, n):
+        arr = np.broadcast_to(
+            np.arange(H, dtype=np.float32)[:, None, None], (H, n, 1)
+        )
+        got = _center_crop(arr, n)
+        assert got.shape[0] == n
+        assert got[0, 0, 0] == int(round((H - n) / 2.0)), (H, got[0, 0, 0])
