@@ -107,7 +107,9 @@ def main():
     name = os.path.basename(args.image)
     out_path = os.path.join(args.out_dir, f"[{pred_cls}]{name}")
     Image.fromarray(out).save(out_path)
-    mask_path = os.path.join(args.out_dir, f"mask_{name}.png")
+    mask_path = os.path.join(
+        args.out_dir, f"mask_{os.path.splitext(name)[0]}.png"
+    )
     Image.fromarray((mask01 * 255).astype(np.uint8)).save(mask_path)
     log(f"wrote {out_path} and {mask_path}")
 

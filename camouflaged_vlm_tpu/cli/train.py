@@ -3,7 +3,7 @@
 Equivalent of `/root/reference/train_ovcos_maskdecoder_edge.py` (main :240,
 train :183): AdamW(2e-4) + per-epoch cosine to 1e-7 over 20 epochs, training
 only {EVP prompt generator, mask decoder, CLIP->prompt projections,
-no_mask_embed, pe_layer}, validating every `epoch_val` epochs, saving
+no_mask_embed}, validating every `epoch_val` epochs, saving
 last/best (min val MAE).
 
 TPU-native deltas (documented deviations):
@@ -52,6 +52,12 @@ def main():
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=4, help="global batch")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument(
+        "--weight-decay", type=float, default=0.01,
+        help="AdamW decoupled weight decay — 0.01 is torch AdamW's default, "
+        "which the reference inherits (it builds AdamW(params, lr=...) with "
+        "no explicit decay, utils.py:111-117)",
+    )
     p.add_argument("--eta-min", type=float, default=1e-7)
     p.add_argument("--epoch-val", type=int, default=2)
     p.add_argument("--loss", default="iou", choices=["bce", "bbce", "iou"])
@@ -194,6 +200,7 @@ def main():
     tx = make_optimizer(
         params,
         base_lr=args.lr,
+        weight_decay=args.weight_decay,
         total_epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
         eta_min=args.eta_min,

@@ -23,8 +23,6 @@ train/test splits of the same class count.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -29,7 +29,6 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .model import AlphaClipConfig
 from .tokenizer import tokenize
 
 

@@ -91,18 +91,21 @@ def make_maple_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 5e-4,
 ) -> optax.GradientTransformation:
-    """SGD + constant warmup + cosine — dassl's default MaPLe OPTIM recipe
+    """SGD + constant warmup + per-epoch cosine — dassl's MaPLe OPTIM recipe
     (the reference consumes it via `build_optimizer(self.model, cfg.OPTIM)`,
-    `mapleAlphaCLIP.py:345-346`)."""
-    warmup_steps = warmup_epochs * steps_per_epoch
-    total_steps = max(total_epochs * steps_per_epoch, warmup_steps + 1)
-    schedule = optax.join_schedules(
-        [
-            optax.constant_schedule(warmup_lr),
-            optax.cosine_decay_schedule(base_lr, total_steps - warmup_steps),
-        ],
-        [warmup_steps],
-    )
+    `mapleAlphaCLIP.py:345-346`). dassl's ConstantWarmupScheduler holds
+    `warmup_lr` during the warmup epochs and then RESUMES the inner
+    CosineAnnealingLR(T_max=total_epochs) at the current epoch index
+    (stepped per epoch) — NOT a restarted cosine over the remaining steps:
+    the first post-warmup epoch runs at base*0.5*(1+cos(pi*warmup/total)),
+    not at full base_lr."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, total_epochs)
+        cos = 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * epoch / total_epochs))
+        return jnp.where(epoch < warmup_epochs, warmup_lr, cos)
+
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.sgd(schedule, momentum=momentum),

@@ -5,15 +5,21 @@ Mirrors the reference recipe (`/root/reference/configs/ovcos-sam-vit-h-maskdecod
 `/root/reference/train_ovcos_maskdecoder_edge.py:301-303` and the frozen CLIP
 tower `/root/reference/models/sam_maskdecoder_edge.py:184-189`):
 
-  * AdamW lr 2e-4 -> CosineAnnealingLR(T_max=20 epochs, eta_min=1e-7);
+  * AdamW lr 2e-4, weight_decay 0.01 (torch AdamW's default — the
+    reference builds `AdamW(params, lr=...)` with no explicit decay,
+    `utils.py:111-117`) -> CosineAnnealingLR(T_max=20 epochs, eta_min=1e-7);
   * trainable: prompt_generator (inside the SAM encoder), mask decoder,
-    CLIP->prompt projections, no_mask_embed, pe_layer;
+    CLIP->prompt projections, no_mask_embed;
   * frozen: SAM ViT weights, the whole Alpha-CLIP tower (incl. the MaPLe
-    prompt learner, which is trained separately upstream).
+    prompt learner, trained separately upstream), and pe_layer — its
+    gaussian matrix is a torch BUFFER (`sam_maskdecoder_edge.py:85-88`), so
+    `model.parameters()` never exposes it to the reference's optimizer.
+    (SURVEY.md §3.4 lists pe_layer as trainable; the buffer registration
+    shows it cannot be.)
 
-Freezing is an optax `multi_transform` over a path-derived label tree, so
-frozen params stay exactly at their checkpoint values (and take no optimizer
-memory — `set_to_zero` carries no state).
+Freezing is structural: train_step.partition_params splits the param tree
+and only the trainable half reaches the optimizer (zero optimizer memory
+for frozen weights; jax AD prunes their backward entirely).
 """
 
 from __future__ import annotations
@@ -26,7 +32,6 @@ import optax
 TRAINABLE_SUBTREES: Tuple[str, ...] = (
     "prompt_generator",
     "mask_decoder",
-    "pe_layer",
     "no_mask_embed",
     "visual_proj_ln1",
     "visual_proj_dense",
@@ -73,7 +78,7 @@ def cosine_epoch_schedule(
 def make_optimizer(
     params=None,
     base_lr: float = 2e-4,
-    weight_decay: float = 0.0,
+    weight_decay: float = 0.01,
     total_epochs: int = 20,
     steps_per_epoch: int = 1,
     eta_min: float = 1e-7,

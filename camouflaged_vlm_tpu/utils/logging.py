@@ -29,12 +29,20 @@ def set_log_file(path: str) -> None:
 
 
 def log(obj, filename: str = "log.txt") -> None:
-    """Print and append to the configured log file (if any)."""
+    """Print and append to the configured log file. A non-default
+    `filename` writes to that sibling file in the log directory instead —
+    the reference's `utils.log(obj, filename)` semantics
+    (`/root/reference/utils.py:78-82`)."""
     if _QUIET:
         return
     print(obj, flush=True)
     if _LOG_FILE is not None:
-        with open(_LOG_FILE, "a") as f:
+        path = (
+            _LOG_FILE
+            if filename == "log.txt"
+            else os.path.join(os.path.dirname(_LOG_FILE) or ".", filename)
+        )
+        with open(path, "a") as f:
             print(obj, file=f)
 
 

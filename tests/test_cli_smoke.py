@@ -90,7 +90,7 @@ def test_demo_cli_smoke(monkeypatch, demo_image, tmp_path):
     assert pred in classnames.split(",")
     overlay = np.asarray(Image.open(out_dir / overlays[0]))
     assert overlay.shape == (97, 131, 3)  # original resolution, not model res
-    mask = np.asarray(Image.open(out_dir / "mask_scorpionfish.jpg.png"))
+    mask = np.asarray(Image.open(out_dir / "mask_scorpionfish.png"))
     assert mask.shape == (97, 131)
 
 

@@ -100,12 +100,15 @@ def test_trainable_mask_matches_reference_freeze_rule(tiny_train_setup):
     assert by_path["params/image_encoder/block_0/attn/qkv/kernel"] == "freeze"
     assert by_path["params/clip_model/image_encoder/conv1/kernel"] == "freeze"
     assert by_path["params/clip_model/prompt_learner/ctx"] == "freeze"
-    # trainable: EVP prompts, decoder, projections, pe layer, no_mask_embed
+    # trainable: EVP prompts, decoder, projections, no_mask_embed
     assert by_path["params/image_encoder/prompt_generator/shared_mlp/kernel"] == "train"
     assert by_path["params/mask_decoder/iou_token"] == "train"
     assert by_path["params/visual_proj_dense/kernel"] == "train"
     assert by_path["params/no_mask_embed"] == "train"
-    assert by_path["params/pe_layer/positional_encoding_gaussian_matrix"] == "train"
+    # pe_layer's gaussian matrix is a torch BUFFER in the reference
+    # (sam_maskdecoder_edge.py:85-88) — model.parameters() never exposes it
+    # to the optimizer, so it can never train there
+    assert by_path["params/pe_layer/positional_encoding_gaussian_matrix"] == "freeze"
 
 
 def _make_batch(cfg, bank, rng, B=2):
@@ -317,3 +320,51 @@ def test_grad_accum_dp_mesh_matches_unsharded(tiny_train_setup, rng):
             np.asarray(v), np.asarray(flat_d[p]), rtol=1e-4, atol=1e-6,
             err_msg=str(p),
         )
+
+
+def test_maple_schedule_matches_dassl_semantics():
+    """dassl ConstantWarmupScheduler: warmup epochs run at the constant
+    warmup lr, then the inner per-epoch CosineAnnealingLR(T_max=total)
+    RESUMES at the current epoch index — the first post-warmup epoch is
+    base*0.5*(1+cos(pi*warmup/total)), NOT full base_lr."""
+    import optax
+    from camouflaged_vlm_tpu.train import make_maple_optimizer
+
+    base, total, spe, warm, wlr = 0.0035, 10, 3, 1, 1e-5
+    tx = make_maple_optimizer(
+        base_lr=base, total_epochs=total, steps_per_epoch=spe,
+        warmup_epochs=warm, warmup_lr=wlr,
+    )
+    # extract the schedule by probing sgd's update scaling on a unit grad
+    params = {"w": jnp.zeros((1,))}
+    state = tx.init(params)
+    lrs = []
+    for _ in range(5 * spe):
+        updates, state = tx.update({"w": jnp.ones((1,))}, state, params)
+        lrs.append(-float(updates["w"][0]))
+    # SGD with momentum 0.9 on constant unit grads: first step's update is
+    # exactly lr (momentum buffer == grad), so check step 0 and the first
+    # step of each epoch via the ratio-free first-step values
+    assert abs(lrs[0] - wlr) < 1e-12
+    # epoch 1 first step: cosine at epoch index 1 (not base)
+    import math
+    want = 0.5 * base * (1 + math.cos(math.pi * 1 / total))
+    # momentum accumulates within an epoch; take step spe (first of epoch 1):
+    # update = lr_epoch1 * (momentum-accumulated grad); with unit grads the
+    # buffer after k steps is (1-0.9**(k+1))/(1-0.9)... simpler: compare the
+    # RATIO of the epoch-boundary update to the preceding update, which
+    # jumps by lr_e1/lr_e0 since the buffer evolves smoothly
+    # Instead assert directly with a fresh momentum-free probe:
+    tx2 = make_maple_optimizer(
+        base_lr=base, total_epochs=total, steps_per_epoch=1,
+        warmup_epochs=warm, warmup_lr=wlr, momentum=0.0, weight_decay=0.0,
+    )
+    s2 = tx2.init(params)
+    vals = []
+    for _ in range(total):
+        up, s2 = tx2.update({"w": jnp.ones((1,))}, s2, params)
+        vals.append(-float(up["w"][0]))
+    assert abs(vals[0] - wlr) < 1e-12
+    for e in range(1, total):
+        want = 0.5 * base * (1 + math.cos(math.pi * e / total))
+        assert abs(vals[e] - want) < 1e-9, (e, vals[e], want)
