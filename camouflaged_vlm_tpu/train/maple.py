@@ -94,16 +94,19 @@ def make_maple_optimizer(
     """SGD + constant warmup + per-epoch cosine — dassl's MaPLe OPTIM recipe
     (the reference consumes it via `build_optimizer(self.model, cfg.OPTIM)`,
     `mapleAlphaCLIP.py:345-346`). dassl's ConstantWarmupScheduler holds
-    `warmup_lr` during the warmup epochs and then RESUMES the inner
-    CosineAnnealingLR(T_max=total_epochs) at the current epoch index
-    (stepped per epoch) — NOT a restarted cosine over the remaining steps:
-    the first post-warmup epoch runs at base*0.5*(1+cos(pi*warmup/total)),
-    not at full base_lr."""
+    `warmup_lr` during the warmup epochs; the inner
+    CosineAnnealingLR(T_max=total_epochs) only starts stepping AFTER warmup
+    (dassl's `build_lr_scheduler` rewinds it to `warmup_epoch - 1` only when
+    `WARMUP_RECOUNT` is False, and the default — which the reference's
+    config never overrides — is True), so post-warmup epoch e trains at
+    cosine index (e - warmup): the FIRST post-warmup epoch runs at full
+    base_lr, and the cosine never reaches its T_max tail."""
     import jax.numpy as jnp
 
     def schedule(step):
         epoch = jnp.minimum(step // steps_per_epoch, total_epochs)
-        cos = 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * epoch / total_epochs))
+        cos_idx = jnp.maximum(epoch - warmup_epochs, 0)
+        cos = 0.5 * base_lr * (1.0 + jnp.cos(jnp.pi * cos_idx / total_epochs))
         return jnp.where(epoch < warmup_epochs, warmup_lr, cos)
 
     return optax.chain(

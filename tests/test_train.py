@@ -323,10 +323,11 @@ def test_grad_accum_dp_mesh_matches_unsharded(tiny_train_setup, rng):
 
 
 def test_maple_schedule_matches_dassl_semantics():
-    """dassl ConstantWarmupScheduler: warmup epochs run at the constant
-    warmup lr, then the inner per-epoch CosineAnnealingLR(T_max=total)
-    RESUMES at the current epoch index — the first post-warmup epoch is
-    base*0.5*(1+cos(pi*warmup/total)), NOT full base_lr."""
+    """dassl ConstantWarmupScheduler (WARMUP_RECOUNT=True, the default the
+    reference never overrides): warmup epochs run at the constant warmup lr,
+    then the inner per-epoch CosineAnnealingLR(T_max=total) starts stepping
+    from index 0 — the first post-warmup epoch runs at FULL base_lr and
+    post-warmup epoch e at base*0.5*(1+cos(pi*(e-warmup)/total))."""
     import optax
     from camouflaged_vlm_tpu.train import make_maple_optimizer
 
@@ -346,15 +347,8 @@ def test_maple_schedule_matches_dassl_semantics():
     # exactly lr (momentum buffer == grad), so check step 0 and the first
     # step of each epoch via the ratio-free first-step values
     assert abs(lrs[0] - wlr) < 1e-12
-    # epoch 1 first step: cosine at epoch index 1 (not base)
     import math
-    want = 0.5 * base * (1 + math.cos(math.pi * 1 / total))
-    # momentum accumulates within an epoch; take step spe (first of epoch 1):
-    # update = lr_epoch1 * (momentum-accumulated grad); with unit grads the
-    # buffer after k steps is (1-0.9**(k+1))/(1-0.9)... simpler: compare the
-    # RATIO of the epoch-boundary update to the preceding update, which
-    # jumps by lr_e1/lr_e0 since the buffer evolves smoothly
-    # Instead assert directly with a fresh momentum-free probe:
+    # assert directly with a fresh momentum-free probe:
     tx2 = make_maple_optimizer(
         base_lr=base, total_epochs=total, steps_per_epoch=1,
         warmup_epochs=warm, warmup_lr=wlr, momentum=0.0, weight_decay=0.0,
@@ -365,6 +359,8 @@ def test_maple_schedule_matches_dassl_semantics():
         up, s2 = tx2.update({"w": jnp.ones((1,))}, s2, params)
         vals.append(-float(up["w"][0]))
     assert abs(vals[0] - wlr) < 1e-12
-    for e in range(1, total):
-        want = 0.5 * base * (1 + math.cos(math.pi * e / total))
+    # first post-warmup epoch: the cosine has not stepped yet -> full base_lr
+    assert abs(vals[warm] - base) < 1e-9
+    for e in range(warm, total):
+        want = 0.5 * base * (1 + math.cos(math.pi * (e - warm) / total))
         assert abs(vals[e] - want) < 1e-9, (e, vals[e], want)
