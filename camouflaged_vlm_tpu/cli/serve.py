@@ -1,0 +1,171 @@
+"""HTTP model server for the OVCOS cascade.
+
+Mounts `camouflaged_vlm_tpu.serve.InferenceEngine` (micro-batching fused
+cascade — see that module's docstring) behind a stdlib threaded HTTP server.
+No reference counterpart: the reference ships only a batch-1 demo script
+(`/root/reference/demo.py`); this is the deployment entry the framework adds.
+
+Endpoints:
+  POST /predict        body = raw image bytes (any PIL-decodable format).
+                       Query params: mask=0 omits the mask from the response.
+                       -> JSON {class, class_id, score, latency_ms,
+                                mask_png_b64?}
+  GET  /healthz        200 "ok" once the bucket programs are compiled,
+                       503 "warming" before that.
+  GET  /stats          JSON batching/latency counters.
+  GET  /classnames     JSON list of the class split being served.
+
+Usage:
+  python -m camouflaged_vlm_tpu.cli.serve --port 8000 \
+      --cascade-ckpt model_epoch_best.pth --clip-ckpt ViT-L-14-336px.pt \
+      --text-bank TestCamoPromptsTextFeaturesViTB-14-336.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+from PIL import Image
+
+from ..data.ovcamo import TEST_CLASS_NAMES
+from ..serve import InferenceEngine, ServeConfig
+from ..utils.logging import log
+from .common import assemble_cascade
+
+
+def make_handler(engine: InferenceEngine, quiet: bool = False):
+    class Handler(BaseHTTPRequestHandler):
+        # ThreadingHTTPServer runs one thread per connection; the engine's
+        # queue provides the backpressure.
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            if not quiet:
+                log("[serve] " + fmt % args)
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                if engine.ready():
+                    self._json(200, {"status": "ok"})
+                else:
+                    self._json(503, {"status": "warming"})
+            elif path == "/stats":
+                self._json(200, engine.stats())
+            elif path == "/classnames":
+                self._json(200, engine.classnames)
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/predict":
+                self._json(404, {"error": f"unknown path {parsed.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0:
+                    self._json(400, {"error": "empty body; send raw image bytes"})
+                    return
+                data = self.rfile.read(length)
+                img = Image.open(io.BytesIO(data))
+            except Exception as e:
+                self._json(400, {"error": f"undecodable image: {e}"})
+                return
+            want_mask = parse_qs(parsed.query).get("mask", ["1"])[0] != "0"
+            t0 = time.monotonic()
+            try:
+                out = engine.predict_pil(img)
+            except Exception as e:
+                self._json(500, {"error": f"inference failed: {e}"})
+                return
+            resp = {
+                "class": out["class"],
+                "class_id": out["class_id"],
+                "score": out["score"],
+                "latency_ms": round((time.monotonic() - t0) * 1e3, 2),
+            }
+            if want_mask:
+                buf = io.BytesIO()
+                Image.fromarray(out["mask"]).save(buf, format="PNG")
+                resp["mask_png_b64"] = base64.b64encode(buf.getvalue()).decode()
+            self._json(200, resp)
+
+    return Handler
+
+
+def serve_forever(engine: InferenceEngine, host: str, port: int, quiet: bool = False):
+    """Build the HTTP server; returns (server, thread) with warmup running
+    in the background so /healthz reports readiness honestly."""
+    server = ThreadingHTTPServer((host, port), make_handler(engine, quiet=quiet))
+    threading.Thread(target=engine.warmup, daemon=True).start()
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
+
+
+def main():
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--cascade-ckpt", default=None)
+    p.add_argument("--sam-ckpt", default=None)
+    p.add_argument("--clip-ckpt", default=None)
+    p.add_argument("--maple-ckpt", default=None)
+    p.add_argument("--text-bank", default=None)
+    p.add_argument("--classnames", default=None, help="comma-separated; default OVCamo test split")
+    p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--buckets", default="1,2,4,8", help="compiled batch sizes, ascending")
+    p.add_argument("--max-delay-ms", type=float, default=10.0)
+    args = p.parse_args()
+
+    classnames = args.classnames.split(",") if args.classnames else TEST_CLASS_NAMES
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, cfg, params, bank = assemble_cascade(
+        classnames,
+        cascade_ckpt=args.cascade_ckpt,
+        sam_ckpt=args.sam_ckpt,
+        clip_ckpt=args.clip_ckpt,
+        maple_ckpt=args.maple_ckpt,
+        text_bank_path=args.text_bank,
+        dtype=dtype,
+        tiny=args.tiny,
+    )
+    engine = InferenceEngine(
+        model, cfg, params, bank, classnames,
+        ServeConfig(
+            buckets=tuple(int(b) for b in args.buckets.split(",")),
+            max_delay_ms=args.max_delay_ms,
+        ),
+    )
+    server, thread = serve_forever(engine, args.host, args.port)
+    log(f"[serve] listening on {args.host}:{args.port} (warming {args.buckets})")
+    try:
+        thread.join()
+    except KeyboardInterrupt:
+        log("[serve] shutting down")
+        server.shutdown()
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Production serving: micro-batching inference engine for the fused cascade.
+
+The reference has no serving story — its eval entry is a serialised batch-1
+CUDA loop (`/root/reference/test_ovcos_maskdecoder_edge.py:68-143`). This
+module serves the cascade the TPU way:
+
+- Requests are coalesced into the largest batch available within a small
+  deadline window and padded to a fixed set of pre-compiled batch *buckets*
+  (XLA programs are shape-specialised; a new batch size means a new compile,
+  so production traffic must ride a closed set of shapes).
+- Each batch runs as ONE fused device program (SAM encoder -> CLIP pass 1 ->
+  edge decoder -> alpha handoff -> CLIP pass 2), identical to
+  `cli/evaluate.run`: uint8 transfer with in-graph normalisation, per-class
+  text features encoded once at startup, param-derived rel-pos tables hoisted.
+- Host preprocessing (PIL resize to uint8) runs on the caller's thread; the
+  single batching worker only stacks arrays and dispatches, so device
+  dispatch overlaps the next batch's preprocessing.
+
+`InferenceEngine` is transport-agnostic (futures in, results out);
+`cli/serve.py` mounts it behind a stdlib HTTP front end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from .data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    ONES_ALPHA_VALUE,
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
+    clip_image_resized_u8,
+    sam_image_resized_u8,
+)
+from .factory import attach_rel_cache
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Batching policy.
+
+    buckets: allowed (pre-compilable) batch sizes, ascending. A batch of n
+        requests runs at the smallest bucket >= n, padded by repeating the
+        last row (pad rows are discarded; padding with real data keeps the
+        program free of degenerate values).
+    max_delay_ms: how long the worker holds the first request of a batch
+        waiting for more to coalesce. The latency/throughput knob.
+    queue_capacity: backpressure bound — submit() blocks when this many
+        requests are already queued.
+    """
+
+    buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    max_delay_ms: float = 10.0
+    queue_capacity: int = 256
+
+    def __post_init__(self):
+        assert self.buckets == tuple(sorted(self.buckets)) and self.buckets, (
+            "buckets must be a non-empty ascending tuple"
+        )
+
+
+class _Request:
+    __slots__ = ("inp", "cimg", "future", "t_enqueue")
+
+    def __init__(self, inp: np.ndarray, cimg: np.ndarray):
+        self.inp = inp
+        self.cimg = cimg
+        self.future: Future = Future()
+        self.t_enqueue = time.monotonic()
+
+
+_SENTINEL = object()
+
+
+class InferenceEngine:
+    """Micro-batching server core around one fused cascade program.
+
+    Args mirror `cli.common.assemble_cascade`'s outputs: a built model,
+    its config, host-or-device params, and the class prompt bank.
+    """
+
+    def __init__(
+        self,
+        model,
+        cfg,
+        params,
+        bank: Dict[str, jnp.ndarray],
+        classnames: Sequence[str],
+        serve_cfg: ServeConfig = ServeConfig(),
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.classnames = list(classnames)
+        self.serve_cfg = serve_cfg
+
+        self._params = attach_rel_cache(params, cfg)
+        # Per-class text features are image-independent: encode once at
+        # startup, not per request (the reference reruns the text tower
+        # every image).
+        self._text_features = jax.jit(
+            lambda p, a, b, c, d: model.apply(
+                p, a, b, c, d, method=model.encode_class_text_features
+            )
+        )(
+            self._params,
+            bank["prefix"],
+            bank["suffix"],
+            bank["eot_indices"],
+            bank["bank_features"],
+        )
+
+        clip_size = cfg.clip_size
+
+        @jax.jit
+        def _run(params, text_features, inp_u8, cimg_u8):
+            inp = (inp_u8.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            cimg = (
+                cimg_u8.astype(jnp.float32) / 255.0 - OPENAI_CLIP_MEAN
+            ) / OPENAI_CLIP_STD
+            cmask = jnp.full((inp_u8.shape[0], clip_size, clip_size, 1), ONES_ALPHA_VALUE)
+            probs, pred, score = model.apply(
+                params, inp, cimg, cmask, text_features,
+                method=model.infer_cascade_with_text,
+            )
+            # fp16 halves device->host mask traffic; ~3e-4 resolution is far
+            # below any downstream threshold's quantisation.
+            return probs.astype(jnp.float16), pred, score
+
+        self._run = _run
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=serve_cfg.queue_capacity)
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_images": 0,  # includes pad rows
+            "errors": 0,
+            "batch_size_hist": {},  # real (unpadded) sizes
+            "latency_ms_sum": 0.0,
+            "latency_ms_max": 0.0,
+        }
+        self._ready = threading.Event()
+        self._stop = False
+        self._worker = threading.Thread(
+            target=self._worker_loop, name="cvlm-serve-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ---- public API ----
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the bucket programs (first compile over a tunneled
+        backend takes minutes; a warm server answers its first request at
+        steady-state latency)."""
+        cfg = self.cfg
+        for b in buckets if buckets is not None else self.serve_cfg.buckets:
+            out = self._run(
+                self._params,
+                self._text_features,
+                np.zeros((b, cfg.inp_size, cfg.inp_size, 3), np.uint8),
+                np.zeros((b, cfg.clip_size, cfg.clip_size, 3), np.uint8),
+            )
+            jax.tree.map(np.asarray, out)
+        self._ready.set()
+
+    def ready(self) -> bool:
+        return self._ready.is_set()
+
+    def submit(self, inp_u8: np.ndarray, cimg_u8: np.ndarray) -> Future:
+        """Enqueue one preprocessed image pair.
+
+        inp_u8: (inp_size, inp_size, 3) uint8; cimg_u8: (clip_size,
+        clip_size, 3) uint8. Returns a Future resolving to
+        (mask_probs (H, W) float16, class_id int, class_logits (N,) float32).
+        Blocks when queue_capacity requests are pending (backpressure).
+        """
+        cfg = self.cfg
+        assert inp_u8.shape == (cfg.inp_size, cfg.inp_size, 3), inp_u8.shape
+        assert cimg_u8.shape == (cfg.clip_size, cfg.clip_size, 3), cimg_u8.shape
+        req = _Request(np.ascontiguousarray(inp_u8), np.ascontiguousarray(cimg_u8))
+        self._queue.put(req)
+        return req.future
+
+    def predict_pil(self, img: Image.Image, timeout: Optional[float] = None) -> Dict:
+        """Preprocess one PIL image, run it through the batcher, and return
+        a response dict with the mask resized back to the input resolution
+        (same host path as `cli/demo.py`)."""
+        img = img.convert("RGB")
+        w, h = img.size
+        fut = self.submit(
+            sam_image_resized_u8(img, self.cfg.inp_size),
+            clip_image_resized_u8(img, self.cfg.clip_size),
+        )
+        probs, pred, score = fut.result(timeout=timeout)
+        mask_img = Image.fromarray(
+            (np.asarray(probs, np.float32) * 255).astype(np.uint8)
+        ).resize((w, h), Image.BILINEAR)
+        cls_id = int(pred)
+        return {
+            "class_id": cls_id,
+            "class": self.classnames[cls_id],
+            "score": float(np.asarray(score, np.float32)[cls_id]),
+            "mask": np.asarray(mask_img),  # (h, w) uint8
+        }
+
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            s = dict(self._stats)
+            s["batch_size_hist"] = dict(self._stats["batch_size_hist"])
+        if s["requests"]:
+            s["latency_ms_mean"] = s["latency_ms_sum"] / s["requests"]
+        s["pad_fraction"] = (
+            1.0 - s["requests"] / s["batched_images"] if s["batched_images"] else 0.0
+        )
+        s["ready"] = self.ready()
+        return s
+
+    def close(self) -> None:
+        self._stop = True
+        self._queue.put(_SENTINEL)
+        self._worker.join(timeout=10)
+
+    # ---- batching worker ----
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.serve_cfg.buckets:
+            if b >= n:
+                return b
+        return self.serve_cfg.buckets[-1]
+
+    def _worker_loop(self) -> None:
+        max_batch = self.serve_cfg.buckets[-1]
+        delay_s = self.serve_cfg.max_delay_ms / 1e3
+        while True:
+            first = self._queue.get()
+            if first is _SENTINEL:
+                return
+            batch: List[_Request] = [first]
+            deadline = time.monotonic() + delay_s
+            while len(batch) < max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    item = (
+                        self._queue.get(timeout=remaining)
+                        if remaining > 0
+                        else self._queue.get_nowait()
+                    )
+                except queue.Empty:
+                    break
+                if item is _SENTINEL:
+                    self._flush(batch)
+                    return
+                batch.append(item)
+            self._flush(batch)
+            if self._stop:
+                return
+
+    def _flush(self, batch: List[_Request]) -> None:
+        if not batch:
+            return
+        n = len(batch)
+        bucket = self._bucket_for(n)
+        try:
+            inp = np.stack([r.inp for r in batch] + [batch[-1].inp] * (bucket - n))
+            cimg = np.stack([r.cimg for r in batch] + [batch[-1].cimg] * (bucket - n))
+            probs, pred, score = self._run(self._params, self._text_features, inp, cimg)
+            # one host fetch per batch (the device->host sync point)
+            probs = np.asarray(probs)[..., 0]
+            pred = np.asarray(pred)
+            score = np.asarray(score, np.float32)
+        except Exception as e:  # compile/dispatch failure: fail the batch, not the server
+            with self._stats_lock:
+                self._stats["errors"] += n
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        now = time.monotonic()
+        with self._stats_lock:
+            s = self._stats
+            s["requests"] += n
+            s["batches"] += 1
+            s["batched_images"] += bucket
+            s["batch_size_hist"][n] = s["batch_size_hist"].get(n, 0) + 1
+            for r in batch:
+                lat = (now - r.t_enqueue) * 1e3
+                s["latency_ms_sum"] += lat
+                s["latency_ms_max"] = max(s["latency_ms_max"], lat)
+        for i, r in enumerate(batch):
+            r.future.set_result((probs[i], int(pred[i]), score[i]))

@@ -1,0 +1,188 @@
+"""Serving subsystem: micro-batching engine + HTTP front end (CPU, tiny).
+
+Covers: batched-and-padded results == direct single-image inference,
+request coalescing, bucket selection, backpressure accounting, and the
+HTTP endpoints end-to-end.
+"""
+
+import base64
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from camouflaged_vlm_tpu.factory import (
+    build_tiny_cascade,
+    init_cascade_params,
+    make_bank_inputs,
+)
+from camouflaged_vlm_tpu.serve import InferenceEngine, ServeConfig
+
+CLASSNAMES = ["cat", "owl", "snow leopard", "scorpionfish"]
+
+
+@pytest.fixture(scope="module")
+def engine_parts():
+    model, cfg = build_tiny_cascade()
+    bank = make_bank_inputs(cfg, CLASSNAMES)
+    params = init_cascade_params(model, cfg, bank, batch=1)
+    return model, cfg, params, bank
+
+
+def _make_engine(engine_parts, **kw):
+    model, cfg, params, bank = engine_parts
+    serve_cfg = ServeConfig(**{"buckets": (1, 2, 4), "max_delay_ms": 200.0, **kw})
+    return InferenceEngine(model, cfg, params, bank, CLASSNAMES, serve_cfg)
+
+
+def _rand_inputs(cfg, rng, n):
+    inp = rng.integers(0, 256, (n, cfg.inp_size, cfg.inp_size, 3), dtype=np.uint8)
+    cimg = rng.integers(0, 256, (n, cfg.clip_size, cfg.clip_size, 3), dtype=np.uint8)
+    return inp, cimg
+
+
+def test_batched_padded_matches_direct(engine_parts, rng):
+    """3 concurrent requests coalesce into one bucket-4 (padded) batch whose
+    per-request results equal direct batch-1 inference."""
+    model, cfg, params, bank = engine_parts
+    eng = _make_engine(engine_parts)
+    try:
+        inp, cimg = _rand_inputs(cfg, rng, 3)
+        futures = [None] * 3
+        threads = [
+            threading.Thread(
+                target=lambda i=i: futures.__setitem__(i, eng.submit(inp[i], cimg[i]))
+            )
+            for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = [f.result(timeout=120) for f in futures]
+
+        # direct single-image reference through the same jitted program
+        for i, (probs, pred, score) in enumerate(results):
+            p1, d1, s1 = eng._run(
+                eng._params, eng._text_features, inp[i : i + 1], cimg[i : i + 1]
+            )
+            # batch-4 and batch-1 programs may tile reductions differently;
+            # fp16-level agreement is the contract
+            np.testing.assert_allclose(
+                probs.astype(np.float32),
+                np.asarray(p1, np.float32)[0, :, :, 0],
+                atol=2e-3,
+            )
+            assert pred == int(d1[0])
+            np.testing.assert_allclose(
+                score, np.asarray(s1, np.float32)[0], rtol=1e-4, atol=1e-5
+            )
+
+        s = eng.stats()
+        assert s["requests"] == 3
+        # coalescing: strictly fewer batches than requests
+        assert s["batches"] < 3
+        # a 3-request batch must have run at bucket 4 (padded)
+        assert s["batched_images"] >= 4
+        assert s["pad_fraction"] > 0
+    finally:
+        eng.close()
+
+
+def test_bucket_selection(engine_parts):
+    eng = _make_engine(engine_parts)
+    try:
+        assert [eng._bucket_for(n) for n in (1, 2, 3, 4)] == [1, 2, 4, 4]
+    finally:
+        eng.close()
+
+
+def test_predict_pil_shapes(engine_parts, rng):
+    eng = _make_engine(engine_parts, max_delay_ms=1.0)
+    try:
+        img = Image.fromarray(
+            rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        )  # non-square: mask must come back at the ORIGINAL size
+        out = eng.predict_pil(img, timeout=120)
+        assert out["class"] in CLASSNAMES
+        assert out["mask"].shape == (50, 70)
+        assert out["mask"].dtype == np.uint8
+        assert isinstance(out["score"], float)
+    finally:
+        eng.close()
+
+
+def test_warmup_sets_ready(engine_parts):
+    eng = _make_engine(engine_parts, buckets=(1,))
+    try:
+        assert not eng.ready()
+        eng.warmup()
+        assert eng.ready()
+    finally:
+        eng.close()
+
+
+def test_http_server_end_to_end(engine_parts, rng):
+    from camouflaged_vlm_tpu.cli.serve import serve_forever
+
+    eng = _make_engine(engine_parts, max_delay_ms=1.0, buckets=(1, 2))
+    server, thread = serve_forever(eng, "127.0.0.1", 0, quiet=True)
+    try:
+        port = server.server_address[1]
+
+        # wait for warmup (tiny config compiles in seconds on CPU)
+        import time
+
+        for _ in range(600):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("GET", "/healthz")
+            r = conn.getresponse()
+            r.read()
+            if r.status == 200:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("server never became ready")
+
+        # classnames endpoint
+        conn.request("GET", "/classnames")
+        r = conn.getresponse()
+        assert json.loads(r.read()) == CLASSNAMES
+
+        # predict with a JPEG body
+        img = Image.fromarray(rng.integers(0, 256, (40, 60, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        conn.request("POST", "/predict", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        resp = json.loads(r.read())
+        assert resp["class"] in CLASSNAMES
+        mask = Image.open(io.BytesIO(base64.b64decode(resp["mask_png_b64"])))
+        assert mask.size == (60, 40)
+
+        # predict without the mask payload
+        conn.request("POST", "/predict?mask=0", body=buf.getvalue())
+        resp = json.loads(conn.getresponse().read())
+        assert "mask_png_b64" not in resp and resp["class"] in CLASSNAMES
+
+        # malformed body -> 400, not a crash
+        conn.request("POST", "/predict", body=b"not an image")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()  # drain before reusing the keep-alive connection
+
+        # stats endpoint reflects the traffic
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] >= 2 and stats["ready"]
+    finally:
+        server.shutdown()
+        eng.close()
