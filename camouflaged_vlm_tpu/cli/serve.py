@@ -136,6 +136,10 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--buckets", default="1,2,4,8", help="compiled batch sizes, ascending")
     p.add_argument("--max-delay-ms", type=float, default=10.0)
+    p.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard each batch over all chips (buckets must divide evenly)",
+    )
     args = p.parse_args()
 
     classnames = args.classnames.split(",") if args.classnames else TEST_CLASS_NAMES
@@ -150,12 +154,19 @@ def main():
         dtype=dtype,
         tiny=args.tiny,
     )
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        log(f"[serve] data-parallel over {mesh.shape['data']} devices")
     engine = InferenceEngine(
         model, cfg, params, bank, classnames,
         ServeConfig(
             buckets=tuple(int(b) for b in args.buckets.split(",")),
             max_delay_ms=args.max_delay_ms,
         ),
+        mesh=mesh,
     )
     server, thread = serve_forever(engine, args.host, args.port)
     log(f"[serve] listening on {args.host}:{args.port} (warming {args.buckets})")

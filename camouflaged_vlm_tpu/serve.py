@@ -16,6 +16,10 @@ module serves the cascade the TPU way:
   single batching worker only stacks arrays and dispatches, so device
   dispatch overlaps the next batch's preprocessing.
 
+- With a `mesh`, each batch is sharded over the data axis and params are
+  replicated — one request batch fans out across every chip (GSPMD inserts
+  the transfers; the reference's eval loop is single-GPU by construction).
+
 `InferenceEngine` is transport-agnostic (futures in, results out);
 `cli/serve.py` mounts it behind a stdlib HTTP front end.
 """
@@ -99,13 +103,34 @@ class InferenceEngine:
         bank: Dict[str, jnp.ndarray],
         classnames: Sequence[str],
         serve_cfg: ServeConfig = ServeConfig(),
+        mesh=None,
     ):
         self.model = model
         self.cfg = cfg
         self.classnames = list(classnames)
         self.serve_cfg = serve_cfg
+        self.mesh = mesh
 
         self._params = attach_rel_cache(params, cfg)
+        if mesh is not None:
+            # Multi-chip serving: params replicated, each batch sharded over
+            # the mesh's data axis — one request batch fans out across chips
+            # (throughput scaling the reference's single-GPU loop can't do).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            bad = [b for b in serve_cfg.buckets if b % n_data]
+            assert not bad, (
+                f"buckets {bad} not divisible by the data axis ({n_data}); "
+                f"every compiled batch shape must shard evenly"
+            )
+            self._params = jax.device_put(
+                self._params, NamedSharding(mesh, P())
+            )
+            batch_sharding = NamedSharding(mesh, P("data"))
+            self._put = lambda a: jax.device_put(a, batch_sharding)
+        else:
+            self._put = lambda a: a
         # Per-class text features are image-independent: encode once at
         # startup, not per request (the reference reruns the text tower
         # every image).
@@ -169,8 +194,8 @@ class InferenceEngine:
             out = self._run(
                 self._params,
                 self._text_features,
-                np.zeros((b, cfg.inp_size, cfg.inp_size, 3), np.uint8),
-                np.zeros((b, cfg.clip_size, cfg.clip_size, 3), np.uint8),
+                self._put(np.zeros((b, cfg.inp_size, cfg.inp_size, 3), np.uint8)),
+                self._put(np.zeros((b, cfg.clip_size, cfg.clip_size, 3), np.uint8)),
             )
             jax.tree.map(np.asarray, out)
         self._ready.set()
@@ -275,7 +300,9 @@ class InferenceEngine:
         try:
             inp = np.stack([r.inp for r in batch] + [batch[-1].inp] * (bucket - n))
             cimg = np.stack([r.cimg for r in batch] + [batch[-1].cimg] * (bucket - n))
-            probs, pred, score = self._run(self._params, self._text_features, inp, cimg)
+            probs, pred, score = self._run(
+                self._params, self._text_features, self._put(inp), self._put(cimg)
+            )
             # one host fetch per batch (the device->host sync point)
             probs = np.asarray(probs)[..., 0]
             pred = np.asarray(pred)

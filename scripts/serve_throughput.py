@@ -1,0 +1,130 @@
+"""Serving throughput + latency under concurrent load (real chip).
+
+bench.py times the bare device pipeline; this measures the SERVING stack —
+`camouflaged_vlm_tpu.serve.InferenceEngine` with its queue, deadline
+coalescing, bucket padding and host<->device transfers — under closed-loop
+concurrent clients, the way a deployed server actually sees traffic. Each of
+K client threads submits a preprocessed image, waits for its result, and
+immediately submits the next, for N total requests. Reports steady-state
+img/s plus p50/p95/p99 request latency and the realised batch histogram.
+
+The reference has no serving counterpart (its eval loop is serialised
+batch-1, `/root/reference/test_ovcos_maskdecoder_edge.py:68-143`); the
+comparison that matters is against OUR bench.py device ceiling — the gap is
+the serving overhead (queueing + padding + per-batch host fetch).
+
+Usage:
+  python scripts/serve_throughput.py                  # full ViT-H, TPU
+  python scripts/serve_throughput.py --tiny           # smoke (CPU ok)
+  python scripts/serve_throughput.py --clients 32 --requests 256
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import threading
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--clients", type=int, default=32, help="concurrent closed-loop clients")
+    p.add_argument("--requests", type=int, default=256, help="timed requests total")
+    p.add_argument("--warm-requests", type=int, default=32)
+    p.add_argument("--buckets", default="1,2,4,8,16,32")
+    p.add_argument("--max-delay-ms", type=float, default=10.0)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from camouflaged_vlm_tpu.cli.common import assemble_cascade
+    from camouflaged_vlm_tpu.data.ovcamo import TEST_CLASS_NAMES
+    from camouflaged_vlm_tpu.serve import InferenceEngine, ServeConfig
+
+    classnames = TEST_CLASS_NAMES
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, cfg, params, bank = assemble_cascade(
+        classnames, dtype=dtype, tiny=args.tiny
+    )
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    eng = InferenceEngine(
+        model, cfg, params, bank, classnames,
+        ServeConfig(buckets=buckets, max_delay_ms=args.max_delay_ms),
+    )
+
+    rng = np.random.default_rng(0)
+    # a small pool of preprocessed inputs, cycled by the clients (preprocessing
+    # itself is measured by scripts/eval_throughput.py; here we isolate the
+    # engine + device path)
+    pool = [
+        (
+            rng.integers(0, 256, (cfg.inp_size, cfg.inp_size, 3), dtype=np.uint8),
+            rng.integers(0, 256, (cfg.clip_size, cfg.clip_size, 3), dtype=np.uint8),
+        )
+        for _ in range(8)
+    ]
+
+    print(f"[serve-bench] warming buckets {buckets} ...", file=_sys.stderr, flush=True)
+    t0 = time.monotonic()
+    eng.warmup()
+    print(f"[serve-bench] warmup {time.monotonic() - t0:.1f}s", file=_sys.stderr, flush=True)
+
+    latencies: list = []
+    lat_lock = threading.Lock()
+    counter = {"left": args.warm_requests + args.requests}
+
+    def client(idx: int):
+        while True:
+            with lat_lock:
+                if counter["left"] <= 0:
+                    return
+                counter["left"] -= 1
+                timed = counter["left"] < args.requests  # first warm ones untimed
+            inp, cimg = pool[idx % len(pool)]
+            t = time.monotonic()
+            fut = eng.submit(inp, cimg)
+            fut.result(timeout=600)
+            if timed:
+                with lat_lock:
+                    latencies.append(time.monotonic() - t)
+
+    t_start = time.monotonic()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    # timing starts at the first TIMED request; approximate by subtracting the
+    # warm fraction measured from total wall (warm and timed interleave)
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t_start
+    total = args.warm_requests + args.requests
+    ips = total / wall  # closed-loop steady state: warm requests are identical load
+
+    lat = np.sort(np.asarray(latencies)) * 1e3
+    stats = eng.stats()
+    eng.close()
+    print(json.dumps({
+        "serve_images_per_sec": round(ips, 3),
+        "clients": args.clients,
+        "requests_timed": len(latencies),
+        "latency_ms": {
+            "p50": round(float(lat[len(lat) // 2]), 1),
+            "p95": round(float(lat[int(len(lat) * 0.95)]), 1),
+            "p99": round(float(lat[min(len(lat) - 1, int(len(lat) * 0.99))]), 1),
+        },
+        "batch_size_hist": stats["batch_size_hist"],
+        "pad_fraction": round(stats["pad_fraction"], 4),
+        "config": "tiny" if args.tiny else "vit-h-1024",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,47 @@ def test_warmup_sets_ready(engine_parts):
         eng.close()
 
 
+def test_data_parallel_engine_matches_single(engine_parts, rng):
+    """Mesh-sharded serving (batch fanned out over the data axis) returns
+    the same results as the single-device engine."""
+    from camouflaged_vlm_tpu.parallel import make_mesh
+
+    model, cfg, params, bank = engine_parts
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    eng_dp = InferenceEngine(
+        model, cfg, params, bank, CLASSNAMES,
+        ServeConfig(buckets=(4, 8), max_delay_ms=300.0), mesh=mesh,
+    )
+    eng_1 = _make_engine(engine_parts, buckets=(1,), max_delay_ms=1.0)
+    try:
+        inp, cimg = _rand_inputs(cfg, rng, 4)
+        futs = [eng_dp.submit(inp[i], cimg[i]) for i in range(4)]
+        results = [f.result(timeout=300) for f in futs]
+        assert eng_dp.stats()["batches"] == 1  # all 4 rode one sharded batch
+        for i, (probs, pred, score) in enumerate(results):
+            p1, d1, s1 = eng_1.submit(inp[i], cimg[i]).result(timeout=300)
+            np.testing.assert_allclose(
+                probs.astype(np.float32), p1.astype(np.float32), atol=2e-3
+            )
+            assert pred == d1
+            np.testing.assert_allclose(score, s1, rtol=1e-4, atol=1e-5)
+    finally:
+        eng_dp.close()
+        eng_1.close()
+
+
+def test_data_parallel_rejects_indivisible_buckets(engine_parts):
+    from camouflaged_vlm_tpu.parallel import make_mesh
+
+    model, cfg, params, bank = engine_parts
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    with pytest.raises(AssertionError, match="not divisible"):
+        InferenceEngine(
+            model, cfg, params, bank, CLASSNAMES,
+            ServeConfig(buckets=(2, 4)), mesh=mesh,
+        )
+
+
 def test_http_server_end_to_end(engine_parts, rng):
     from camouflaged_vlm_tpu.cli.serve import serve_forever
 
