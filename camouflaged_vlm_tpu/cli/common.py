@@ -54,6 +54,16 @@ def assemble_cascade(
     else:
         model, cfg = (build_tiny_cascade if tiny else build_full_cascade)(dtype=dtype)
 
+    # model-zoo names/URLs resolve to cached, checksum-verified downloads
+    # (reference: alpha_clip_rw/alpha_clip.py:135-141); plain paths pass
+    # through and keep the missing-file-skips-restore smoke-test semantics
+    from ..io.download import CLIP_MODELS, resolve_checkpoint
+
+    if clip_ckpt and (
+        clip_ckpt in CLIP_MODELS or clip_ckpt.startswith(("http://", "https://"))
+    ):
+        clip_ckpt = resolve_checkpoint(clip_ckpt)
+
     token_embedding = None
     clip_tree = None
     if clip_ckpt and os.path.exists(clip_ckpt):
