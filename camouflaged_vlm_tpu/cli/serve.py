@@ -13,7 +13,11 @@ Endpoints:
   GET  /healthz        200 "ok" once the bucket programs are compiled,
                        503 "warming" before that.
   GET  /stats          JSON batching/latency counters.
+  GET  /metrics        the same counters in Prometheus text format.
   GET  /classnames     JSON list of the class split being served.
+
+SIGTERM/SIGINT drain gracefully: the server stops accepting, queued
+requests still run, then the process exits.
 
 Usage:
   python -m camouflaged_vlm_tpu.cli.serve --port 8000 \
@@ -68,6 +72,28 @@ def make_handler(engine: InferenceEngine, quiet: bool = False):
                     self._json(503, {"status": "warming"})
             elif path == "/stats":
                 self._json(200, engine.stats())
+            elif path == "/metrics":
+                # Prometheus text exposition format
+                s = engine.stats()
+                lines = [
+                    f"cvlm_requests_total {s['requests']}",
+                    f"cvlm_batches_total {s['batches']}",
+                    f"cvlm_batched_images_total {s['batched_images']}",
+                    f"cvlm_errors_total {s['errors']}",
+                    f"cvlm_latency_ms_mean {s.get('latency_ms_mean', 0.0):.3f}",
+                    f"cvlm_latency_ms_max {s['latency_ms_max']:.3f}",
+                    f"cvlm_pad_fraction {s['pad_fraction']:.4f}",
+                    f"cvlm_ready {int(s['ready'])}",
+                ] + [
+                    f'cvlm_batches_by_size_total{{size="{k}"}} {v}'
+                    for k, v in sorted(s["batch_size_hist"].items())
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif path == "/classnames":
                 self._json(200, engine.classnames)
             else:
@@ -170,12 +196,17 @@ def main():
     )
     server, thread = serve_forever(engine, args.host, args.port)
     log(f"[serve] listening on {args.host}:{args.port} (warming {args.buckets})")
-    try:
-        thread.join()
-    except KeyboardInterrupt:
-        log("[serve] shutting down")
-        server.shutdown()
-        engine.close()
+
+    import signal
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+    stop.wait()
+    # graceful drain: stop accepting, run out the queue, resolve in-flight
+    log("[serve] shutting down (draining queue)")
+    server.shutdown()
+    engine.close()
 
 
 if __name__ == "__main__":

@@ -214,6 +214,8 @@ class InferenceEngine:
         cfg = self.cfg
         assert inp_u8.shape == (cfg.inp_size, cfg.inp_size, 3), inp_u8.shape
         assert cimg_u8.shape == (cfg.clip_size, cfg.clip_size, 3), cimg_u8.shape
+        if self._stop:
+            raise RuntimeError("engine is shut down")
         req = _Request(np.ascontiguousarray(inp_u8), np.ascontiguousarray(cimg_u8))
         self._queue.put(req)
         return req.future
@@ -253,9 +255,19 @@ class InferenceEngine:
         return s
 
     def close(self) -> None:
+        """Graceful drain: everything queued before shutdown still runs
+        (the sentinel rides the FIFO behind it); anything racing in after
+        is failed, never left hanging."""
         self._stop = True
         self._queue.put(_SENTINEL)
-        self._worker.join(timeout=10)
+        self._worker.join(timeout=60)
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not _SENTINEL:
+                item.future.set_exception(RuntimeError("engine is shut down"))
 
     # ---- batching worker ----
 
@@ -289,8 +301,6 @@ class InferenceEngine:
                     return
                 batch.append(item)
             self._flush(batch)
-            if self._stop:
-                return
 
     def _flush(self, batch: List[_Request]) -> None:
         if not batch:

@@ -119,6 +119,19 @@ def test_predict_pil_shapes(engine_parts, rng):
         eng.close()
 
 
+def test_close_drains_then_rejects(engine_parts, rng):
+    """Requests queued before close() still resolve; submits after raise."""
+    eng = _make_engine(engine_parts, max_delay_ms=500.0)
+    inp, cimg = _rand_inputs(engine_parts[1], rng, 2)
+    futs = [eng.submit(inp[i], cimg[i]) for i in range(2)]
+    eng.close()
+    for f in futs:
+        probs, pred, score = f.result(timeout=120)  # drained, not dropped
+        assert probs.ndim == 2
+    with pytest.raises(RuntimeError, match="shut down"):
+        eng.submit(inp[0], cimg[0])
+
+
 def test_warmup_sets_ready(engine_parts):
     eng = _make_engine(engine_parts, buckets=(1,))
     try:
@@ -224,6 +237,11 @@ def test_http_server_end_to_end(engine_parts, rng):
         conn.request("GET", "/stats")
         stats = json.loads(conn.getresponse().read())
         assert stats["requests"] >= 2 and stats["ready"]
+
+        # prometheus exposition
+        conn.request("GET", "/metrics")
+        text = conn.getresponse().read().decode()
+        assert "cvlm_requests_total" in text and "cvlm_ready 1" in text
     finally:
         server.shutdown()
         eng.close()
