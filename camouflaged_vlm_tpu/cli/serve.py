@@ -166,6 +166,11 @@ def main():
         "--data-parallel", action="store_true",
         help="shard each batch over all chips (buckets must divide evenly)",
     )
+    p.add_argument(
+        "--mask-dtype", default="uint8", choices=["uint8", "float16"],
+        help="mask transfer dtype; uint8 halves device->host bytes and is "
+        "lossless for the 8-bit PNG response",
+    )
     args = p.parse_args()
 
     classnames = args.classnames.split(",") if args.classnames else TEST_CLASS_NAMES
@@ -191,6 +196,7 @@ def main():
         ServeConfig(
             buckets=tuple(int(b) for b in args.buckets.split(",")),
             max_delay_ms=args.max_delay_ms,
+            mask_dtype=args.mask_dtype,
         ),
         mesh=mesh,
     )

@@ -13,8 +13,11 @@ module serves the cascade the TPU way:
   `cli/evaluate.run`: uint8 transfer with in-graph normalisation, per-class
   text features encoded once at startup, param-derived rel-pos tables hoisted.
 - Host preprocessing (PIL resize to uint8) runs on the caller's thread; the
-  single batching worker only stacks arrays and dispatches, so device
-  dispatch overlaps the next batch's preprocessing.
+  batching worker only stacks arrays and dispatches (async), and a separate
+  completion thread performs the blocking result download — so batch k+1's
+  preprocessing + upload + compute overlap batch k's download. On links
+  where transfer dominates (this dev tunnel moves ~50 MB/s) that overlap,
+  plus the optional uint8 mask return, sets the throughput.
 
 - With a `mesh`, each batch is sharded over the data axis and params are
   replicated — one request batch fans out across every chip (GSPMD inserts
@@ -63,16 +66,29 @@ class ServeConfig:
         waiting for more to coalesce. The latency/throughput knob.
     queue_capacity: backpressure bound — submit() blocks when this many
         requests are already queued.
+    mask_dtype: dtype of the returned mask probabilities. "float16" (2
+        bytes/px) by default; "uint8" halves the device->host bytes again
+        — exactly lossless for any 8-bit image output (PNG/overlay), only
+        programmatic consumers of raw probabilities should keep float16.
+    max_inflight: dispatched-but-unfetched batch bound. Dispatch is async
+        (jax queues the program and returns), so the batcher can stack and
+        ship batch k+1 while batch k's results are still downloading — the
+        completion thread below fetches in order. >1 overlaps host<->device
+        transfer with compute; the bound caps device-side input buffers.
     """
 
     buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_delay_ms: float = 10.0
     queue_capacity: int = 256
+    mask_dtype: str = "float16"
+    max_inflight: int = 2
 
     def __post_init__(self):
         assert self.buckets == tuple(sorted(self.buckets)) and self.buckets, (
             "buckets must be a non-empty ascending tuple"
         )
+        assert self.mask_dtype in ("float16", "uint8"), self.mask_dtype
+        assert self.max_inflight >= 1, self.max_inflight
 
 
 class _Request:
@@ -159,9 +175,14 @@ class InferenceEngine:
                 params, inp, cimg, cmask, text_features,
                 method=model.infer_cascade_with_text,
             )
-            # fp16 halves device->host mask traffic; ~3e-4 resolution is far
-            # below any downstream threshold's quantisation.
-            return probs.astype(jnp.float16), pred, score
+            # fp16 halves device->host mask traffic vs f32 (~3e-4 resolution,
+            # far below any threshold's quantisation); uint8 halves it again
+            # for image-output consumers.
+            if serve_cfg.mask_dtype == "uint8":
+                m = jnp.round(probs * 255.0).astype(jnp.uint8)
+            else:
+                m = probs.astype(jnp.float16)
+            return m, pred, score
 
         self._run = _run
 
@@ -178,10 +199,18 @@ class InferenceEngine:
         }
         self._ready = threading.Event()
         self._stop = False
+        # dispatched-but-unfetched batches: the batcher stacks + ships batch
+        # k+1 while the completer is still downloading batch k's results
+        # (jax dispatch is async; np.asarray is the blocking fetch)
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=serve_cfg.max_inflight)
         self._worker = threading.Thread(
             target=self._worker_loop, name="cvlm-serve-batcher", daemon=True
         )
+        self._completer = threading.Thread(
+            target=self._completer_loop, name="cvlm-serve-completer", daemon=True
+        )
         self._worker.start()
+        self._completer.start()
 
     # ---- public API ----
 
@@ -208,7 +237,8 @@ class InferenceEngine:
 
         inp_u8: (inp_size, inp_size, 3) uint8; cimg_u8: (clip_size,
         clip_size, 3) uint8. Returns a Future resolving to
-        (mask_probs (H, W) float16, class_id int, class_logits (N,) float32).
+        (mask_probs (H, W) `serve_cfg.mask_dtype`, class_id int,
+        class_logits (N,) float32).
         Blocks when queue_capacity requests are pending (backpressure).
         """
         cfg = self.cfg
@@ -231,9 +261,13 @@ class InferenceEngine:
             clip_image_resized_u8(img, self.cfg.clip_size),
         )
         probs, pred, score = fut.result(timeout=timeout)
-        mask_img = Image.fromarray(
-            (np.asarray(probs, np.float32) * 255).astype(np.uint8)
-        ).resize((w, h), Image.BILINEAR)
+        probs = np.asarray(probs)
+        m8 = (
+            probs
+            if probs.dtype == np.uint8
+            else (probs.astype(np.float32) * 255).astype(np.uint8)
+        )
+        mask_img = Image.fromarray(m8).resize((w, h), Image.BILINEAR)
         cls_id = int(pred)
         return {
             "class_id": cls_id,
@@ -261,6 +295,8 @@ class InferenceEngine:
         self._stop = True
         self._queue.put(_SENTINEL)
         self._worker.join(timeout=60)
+        self._inflight.put(_SENTINEL)
+        self._completer.join(timeout=60)
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -303,6 +339,8 @@ class InferenceEngine:
             self._flush(batch)
 
     def _flush(self, batch: List[_Request]) -> None:
+        """Stack, ship, and dispatch one batch (async — compute and the
+        result download happen behind the completer thread)."""
         if not batch:
             return
         n = len(batch)
@@ -310,29 +348,47 @@ class InferenceEngine:
         try:
             inp = np.stack([r.inp for r in batch] + [batch[-1].inp] * (bucket - n))
             cimg = np.stack([r.cimg for r in batch] + [batch[-1].cimg] * (bucket - n))
-            probs, pred, score = self._run(
+            outs = self._run(
                 self._params, self._text_features, self._put(inp), self._put(cimg)
             )
-            # one host fetch per batch (the device->host sync point)
-            probs = np.asarray(probs)[..., 0]
-            pred = np.asarray(pred)
-            score = np.asarray(score, np.float32)
         except Exception as e:  # compile/dispatch failure: fail the batch, not the server
-            with self._stats_lock:
-                self._stats["errors"] += n
-            for r in batch:
-                r.future.set_exception(e)
+            self._fail_batch(batch, e)
             return
-        now = time.monotonic()
+        # blocks when max_inflight batches are already awaiting download —
+        # backpressure that bounds device-side input buffers
+        self._inflight.put((batch, bucket, outs))
+
+    def _fail_batch(self, batch: List[_Request], e: Exception) -> None:
         with self._stats_lock:
-            s = self._stats
-            s["requests"] += n
-            s["batches"] += 1
-            s["batched_images"] += bucket
-            s["batch_size_hist"][n] = s["batch_size_hist"].get(n, 0) + 1
-            for r in batch:
-                lat = (now - r.t_enqueue) * 1e3
-                s["latency_ms_sum"] += lat
-                s["latency_ms_max"] = max(s["latency_ms_max"], lat)
-        for i, r in enumerate(batch):
-            r.future.set_result((probs[i], int(pred[i]), score[i]))
+            self._stats["errors"] += len(batch)
+        for r in batch:
+            r.future.set_exception(e)
+
+    def _completer_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is _SENTINEL:
+                return
+            batch, bucket, (probs, pred, score) = item
+            try:
+                # the device->host sync point: one fetch per batch
+                probs = np.asarray(probs)[..., 0]
+                pred = np.asarray(pred)
+                score = np.asarray(score, np.float32)
+            except Exception as e:  # device-side failure surfaces at fetch
+                self._fail_batch(batch, e)
+                continue
+            n = len(batch)
+            now = time.monotonic()
+            with self._stats_lock:
+                s = self._stats
+                s["requests"] += n
+                s["batches"] += 1
+                s["batched_images"] += bucket
+                s["batch_size_hist"][n] = s["batch_size_hist"].get(n, 0) + 1
+                for r in batch:
+                    lat = (now - r.t_enqueue) * 1e3
+                    s["latency_ms_sum"] += lat
+                    s["latency_ms_max"] = max(s["latency_ms_max"], lat)
+            for i, r in enumerate(batch):
+                r.future.set_result((probs[i], int(pred[i]), score[i]))

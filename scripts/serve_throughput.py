@@ -41,6 +41,7 @@ def main():
     p.add_argument("--buckets", default="1,2,4,8,16,32")
     p.add_argument("--max-delay-ms", type=float, default=10.0)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mask-dtype", default="uint8", choices=["uint8", "float16"])
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -57,7 +58,11 @@ def main():
     buckets = tuple(int(b) for b in args.buckets.split(","))
     eng = InferenceEngine(
         model, cfg, params, bank, classnames,
-        ServeConfig(buckets=buckets, max_delay_ms=args.max_delay_ms),
+        ServeConfig(
+            buckets=buckets,
+            max_delay_ms=args.max_delay_ms,
+            mask_dtype=args.mask_dtype,
+        ),
     )
 
     rng = np.random.default_rng(0)
@@ -122,6 +127,7 @@ def main():
         },
         "batch_size_hist": stats["batch_size_hist"],
         "pad_fraction": round(stats["pad_fraction"], 4),
+        "mask_dtype": args.mask_dtype,
         "config": "tiny" if args.tiny else "vit-h-1024",
     }))
 

@@ -119,6 +119,31 @@ def test_predict_pil_shapes(engine_parts, rng):
         eng.close()
 
 
+def test_uint8_mask_matches_float16(engine_parts, rng):
+    """mask_dtype='uint8' returns round(p*255) of the float16 path."""
+    model, cfg, params, bank = engine_parts
+    eng8 = _make_engine(engine_parts, mask_dtype="uint8", max_delay_ms=1.0)
+    eng16 = _make_engine(engine_parts, max_delay_ms=1.0)
+    try:
+        inp, cimg = _rand_inputs(cfg, rng, 1)
+        p8, d8, s8 = eng8.submit(inp[0], cimg[0]).result(timeout=120)
+        p16, d16, s16 = eng16.submit(inp[0], cimg[0]).result(timeout=120)
+        assert p8.dtype == np.uint8 and p16.dtype == np.float16
+        np.testing.assert_allclose(
+            p8.astype(np.float32),
+            np.round(p16.astype(np.float32) * 255),
+            atol=1.0,  # fp16 quantisation can flip a rounding boundary
+        )
+        assert d8 == d16
+        # predict_pil handles both dtypes
+        img = Image.fromarray(rng.integers(0, 256, (30, 40, 3), dtype=np.uint8))
+        out = eng8.predict_pil(img, timeout=120)
+        assert out["mask"].shape == (30, 40) and out["mask"].dtype == np.uint8
+    finally:
+        eng8.close()
+        eng16.close()
+
+
 def test_close_drains_then_rejects(engine_parts, rng):
     """Requests queued before close() still resolve; submits after raise."""
     eng = _make_engine(engine_parts, max_delay_ms=500.0)
