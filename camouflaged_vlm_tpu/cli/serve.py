@@ -110,14 +110,18 @@ def make_handler(engine: InferenceEngine, quiet: bool = False):
                     self._json(400, {"error": "empty body; send raw image bytes"})
                     return
                 data = self.rfile.read(length)
-                img = Image.open(io.BytesIO(data))
+                # decode is validated inside predict_bytes (native fast path
+                # when built, PIL otherwise); a bad container raises there
             except Exception as e:
-                self._json(400, {"error": f"undecodable image: {e}"})
+                self._json(400, {"error": f"unreadable body: {e}"})
                 return
             want_mask = parse_qs(parsed.query).get("mask", ["1"])[0] != "0"
             t0 = time.monotonic()
             try:
-                out = engine.predict_pil(img)
+                out = engine.predict_bytes(data)
+            except (ValueError, OSError) as e:
+                self._json(400, {"error": f"undecodable image: {e}"})
+                return
             except Exception as e:
                 self._json(500, {"error": f"inference failed: {e}"})
                 return

@@ -9,6 +9,7 @@ compute thanks to async dispatch).
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, List, Optional, Sequence
@@ -16,6 +17,7 @@ from typing import Callable, Iterator, List, Optional, Sequence
 import numpy as np
 from PIL import Image
 
+from . import native_pipeline as npp
 from .ovcamo import OVCamoIndex, OVCamoSample
 from .transforms import (
     clip_alpha_transform,
@@ -42,9 +44,47 @@ class EvalSample:
     orig_size: tuple         # (H, W) of the original mask
 
 
+def native_preproc_enabled() -> bool:
+    """Native (libcvtpre) fast path: on when the library is built, overridable
+    with CVLM_NATIVE_PREPROC=0/1.  Outputs are bit-identical either way
+    (tests/test_native_preproc.py), so this is purely a host-CPU choice."""
+    env = os.environ.get("CVLM_NATIVE_PREPROC")
+    if env is not None and env.lower() in ("0", "false", "off"):
+        return False
+    return npp.available()
+
+
 def _load_eval_sample(
-    sample: OVCamoSample, inp_size: int, clip_size: int, raw_uint8: bool = False
+    sample: OVCamoSample,
+    inp_size: int,
+    clip_size: int,
+    raw_uint8: bool = False,
+    use_native: bool = False,
 ) -> EvalSample:
+    if use_native:
+        pair = npp.decode_pair(sample.image_path, sample.mask_path)
+        if pair is not None:
+            img_a, mask_a = pair
+            if raw_uint8:
+                inp = npp.sam_image_resized_u8(img_a, inp_size)
+                cimg = npp.clip_image_resized_u8(img_a, clip_size)
+                cmask = None
+            else:
+                inp = npp.sam_image_transform(img_a, inp_size)
+                cimg = npp.clip_image_transform(img_a, clip_size)
+                cmask = clip_ones_alpha(clip_size)
+            return EvalSample(
+                inp=inp,
+                gt=npp.mask_to_target(mask_a, inp_size),
+                clip_image=cimg,
+                clip_mask=cmask,
+                label_id=sample.class_id,
+                label_name=sample.class_label,
+                image_path=sample.image_path,
+                mask_path=sample.mask_path,
+                orig_size=tuple(mask_a.shape[:2]),
+            )
+        # unsupported container (16-bit PNG, CMYK JPEG, ...) -> PIL fallback
     img = Image.open(sample.image_path).convert("RGB")
     mask = Image.open(sample.mask_path).convert("L")
     img = maybe_rot90_to_match(img, mask)
@@ -88,8 +128,10 @@ def iter_eval_batches(
     slow consumer — e.g. an eval loop bound by a slow host<->device link —
     accumulate the entire decoded dataset in host RAM (3k images ≈ 50 GB).
     """
+    use_native = native_preproc_enabled()
+
     def load(s):
-        return _load_eval_sample(s, inp_size, clip_size, raw_uint8)
+        return _load_eval_sample(s, inp_size, clip_size, raw_uint8, use_native)
 
     batch: List[EvalSample] = []
     for item in _map_bounded(
@@ -147,9 +189,25 @@ def iter_train_batches(
     # augmentation non-deterministic despite seeding).
     flips = rng.random(len(order)) < 0.5
 
+    use_native = native_preproc_enabled()
+
     def load(args):
         i, flip = args
         s = index.samples[int(i)]
+        if use_native:
+            pair = npp.decode_pair(s.image_path, s.mask_path)
+            if pair is not None:
+                img_a, mask_a = pair
+                clip_img = npp.clip_image_transform(img_a, clip_size)
+                if flip:
+                    img_a = npp.fliplr(img_a)
+                    mask_a = npp.fliplr(mask_a)
+                return (
+                    npp.sam_image_transform(img_a, inp_size),
+                    npp.mask_to_target(mask_a, inp_size),
+                    clip_img,
+                    s.class_id,
+                )
         img = Image.open(s.image_path).convert("RGB")
         mask = Image.open(s.mask_path).convert("L")
         img = maybe_rot90_to_match(img, mask)
@@ -204,9 +262,23 @@ def iter_maple_train_batches(
     order = rng.permutation(len(index.samples))
     flips = rng.random(len(order)) < 0.5  # main-thread draw (see above)
 
+    use_native = native_preproc_enabled()
+
     def load(args):
         i, flip = args
         s = index.samples[int(i)]
+        if use_native:
+            pair = npp.decode_pair(s.image_path, s.mask_path)
+            if pair is not None:
+                img_a, mask_a = pair
+                if flip:
+                    img_a = npp.fliplr(img_a)
+                    mask_a = npp.fliplr(mask_a)
+                return (
+                    npp.clip_image_transform(img_a, clip_size),
+                    npp.clip_alpha_transform(mask_a, clip_size),
+                    s.class_id,
+                )
         img = Image.open(s.image_path).convert("RGB")
         mask = Image.open(s.mask_path).convert("L")
         img = maybe_rot90_to_match(img, mask)

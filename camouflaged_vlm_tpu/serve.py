@@ -42,6 +42,9 @@ from PIL import Image
 import jax
 import jax.numpy as jnp
 
+from .data import native as _nat
+from .data import native_pipeline as _npp
+from .data.loader import native_preproc_enabled
 from .data.transforms import (
     IMAGENET_MEAN,
     IMAGENET_STD,
@@ -260,6 +263,28 @@ class InferenceEngine:
             sam_image_resized_u8(img, self.cfg.inp_size),
             clip_image_resized_u8(img, self.cfg.clip_size),
         )
+        return self._respond(fut, w, h, timeout, native=False)
+
+    def predict_bytes(self, data: bytes, timeout: Optional[float] = None) -> Dict:
+        """predict_pil on raw JPEG/PNG bytes, using the native (libcvtpre)
+        decode+resize fast path when built — bit-identical output, but the
+        whole preprocess runs in C with the GIL released, so concurrent
+        request handlers don't serialise on host preprocessing.  Falls back
+        to PIL per request (library absent, exotic container)."""
+        if native_preproc_enabled():
+            img = _nat.decode(data, 3)
+            if img is not None:
+                h, w = img.shape[:2]
+                fut = self.submit(
+                    _npp.sam_image_resized_u8(img, self.cfg.inp_size),
+                    _npp.clip_image_resized_u8(img, self.cfg.clip_size),
+                )
+                return self._respond(fut, w, h, timeout, native=True)
+        import io as _io
+
+        return self.predict_pil(Image.open(_io.BytesIO(data)), timeout)
+
+    def _respond(self, fut: Future, w: int, h: int, timeout, native: bool) -> Dict:
         probs, pred, score = fut.result(timeout=timeout)
         probs = np.asarray(probs)
         m8 = (
@@ -267,13 +292,16 @@ class InferenceEngine:
             if probs.dtype == np.uint8
             else (probs.astype(np.float32) * 255).astype(np.uint8)
         )
-        mask_img = Image.fromarray(m8).resize((w, h), Image.BILINEAR)
+        if native:
+            mask = _nat.resize(m8, (w, h), _nat.BILINEAR)  # 2D in, 2D out
+        else:
+            mask = np.asarray(Image.fromarray(m8).resize((w, h), Image.BILINEAR))
         cls_id = int(pred)
         return {
             "class_id": cls_id,
             "class": self.classnames[cls_id],
             "score": float(np.asarray(score, np.float32)[cls_id]),
-            "mask": np.asarray(mask_img),  # (h, w) uint8
+            "mask": mask,  # (h, w) uint8
         }
 
     def stats(self) -> Dict:

@@ -119,6 +119,28 @@ def test_predict_pil_shapes(engine_parts, rng):
         eng.close()
 
 
+def test_predict_bytes_matches_pil(engine_parts, rng):
+    """predict_bytes (native decode fast path when built, PIL fallback
+    otherwise) returns the same class and a bit-identical mask as
+    predict_pil on the same encoded image."""
+    import io
+
+    eng = _make_engine(engine_parts, max_delay_ms=1.0)
+    try:
+        arr = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "PNG")  # lossless: both paths decode
+        a = eng.predict_bytes(buf.getvalue(), timeout=120)
+        b = eng.predict_pil(Image.open(io.BytesIO(buf.getvalue())), timeout=120)
+        assert a["class_id"] == b["class_id"] and a["score"] == b["score"]
+        assert a["mask"].shape == (50, 70) and a["mask"].dtype == np.uint8
+        assert np.array_equal(a["mask"], b["mask"])
+        with pytest.raises((ValueError, OSError)):
+            eng.predict_bytes(b"not an image at all", timeout=120)
+    finally:
+        eng.close()
+
+
 def test_uint8_mask_matches_float16(engine_parts, rng):
     """mask_dtype='uint8' returns round(p*255) of the float16 path."""
     model, cfg, params, bank = engine_parts
