@@ -42,11 +42,18 @@ def main():
     p.add_argument("--max-delay-ms", type=float, default=10.0)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--mask-dtype", default="uint8", choices=["uint8", "float16"])
+    p.add_argument(
+        "--bytes", action="store_true",
+        help="drive predict_bytes with encoded JPEGs: measures the FULL host "
+        "path (decode + resizes + mask-back-resize), not just the engine; "
+        "toggle the native fast path with CVLM_NATIVE_PREPROC=0/1",
+    )
     args = p.parse_args()
 
     import jax.numpy as jnp
 
     from camouflaged_vlm_tpu.cli.common import assemble_cascade
+    from camouflaged_vlm_tpu.data.loader import native_preproc_enabled
     from camouflaged_vlm_tpu.data.ovcamo import TEST_CLASS_NAMES
     from camouflaged_vlm_tpu.serve import InferenceEngine, ServeConfig
 
@@ -66,16 +73,32 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    # a small pool of preprocessed inputs, cycled by the clients (preprocessing
-    # itself is measured by scripts/eval_throughput.py; here we isolate the
-    # engine + device path)
-    pool = [
-        (
-            rng.integers(0, 256, (cfg.inp_size, cfg.inp_size, 3), dtype=np.uint8),
-            rng.integers(0, 256, (cfg.clip_size, cfg.clip_size, 3), dtype=np.uint8),
-        )
-        for _ in range(8)
-    ]
+    if args.bytes:
+        # encoded-JPEG pool at a typical OVCamo source size: the clients pay
+        # the whole host path per request (decode, 1024/336 resizes,
+        # normalisation in-graph, mask resized back to 500x700)
+        import io as _io
+
+        from PIL import Image
+
+        pool = []
+        for _ in range(8):
+            buf = _io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 256, (500, 700, 3), dtype=np.uint8)
+            ).save(buf, "JPEG", quality=90)
+            pool.append(buf.getvalue())
+    else:
+        # a small pool of preprocessed inputs, cycled by the clients
+        # (host preprocessing is measured by --bytes / eval_throughput.py;
+        # here we isolate the engine + device path)
+        pool = [
+            (
+                rng.integers(0, 256, (cfg.inp_size, cfg.inp_size, 3), dtype=np.uint8),
+                rng.integers(0, 256, (cfg.clip_size, cfg.clip_size, 3), dtype=np.uint8),
+            )
+            for _ in range(8)
+        ]
 
     print(f"[serve-bench] warming buckets {buckets} ...", file=_sys.stderr, flush=True)
     t0 = time.monotonic()
@@ -93,10 +116,12 @@ def main():
                     return
                 counter["left"] -= 1
                 timed = counter["left"] < args.requests  # first warm ones untimed
-            inp, cimg = pool[idx % len(pool)]
             t = time.monotonic()
-            fut = eng.submit(inp, cimg)
-            fut.result(timeout=600)
+            if args.bytes:
+                eng.predict_bytes(pool[idx % len(pool)], timeout=600)
+            else:
+                inp, cimg = pool[idx % len(pool)]
+                eng.submit(inp, cimg).result(timeout=600)
             if timed:
                 with lat_lock:
                     latencies.append(time.monotonic() - t)
@@ -129,6 +154,8 @@ def main():
         "pad_fraction": round(stats["pad_fraction"], 4),
         "mask_dtype": args.mask_dtype,
         "config": "tiny" if args.tiny else "vit-h-1024",
+        "mode": "bytes" if args.bytes else "preprocessed",
+        "native_preproc": bool(args.bytes) and native_preproc_enabled(),
     }))
 
 
