@@ -50,6 +50,20 @@ def make_handler(engine: InferenceEngine, quiet: bool = False):
         # ThreadingHTTPServer runs one thread per connection; the engine's
         # queue provides the backpressure.
         protocol_version = "HTTP/1.1"
+        # idle keep-alive connections drop after this, so the graceful
+        # shutdown's handler-thread join (server_close) is bounded
+        timeout = 30
+
+        def _drain_body(self) -> None:
+            """Read and discard the request body so a keep-alive connection
+            stays in sync after an error response (unread bytes would be
+            parsed as the next request line)."""
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    break
+                length -= len(chunk)
 
         def log_message(self, fmt, *args):
             if not quiet:
@@ -102,6 +116,7 @@ def make_handler(engine: InferenceEngine, quiet: bool = False):
         def do_POST(self):
             parsed = urlparse(self.path)
             if parsed.path != "/predict":
+                self._drain_body()
                 self._json(404, {"error": f"unknown path {parsed.path}"})
                 return
             try:
@@ -118,7 +133,7 @@ def make_handler(engine: InferenceEngine, quiet: bool = False):
             want_mask = parse_qs(parsed.query).get("mask", ["1"])[0] != "0"
             t0 = time.monotonic()
             try:
-                out = engine.predict_bytes(data)
+                out = engine.predict_bytes(data, want_mask=want_mask)
             except (ValueError, OSError) as e:
                 self._json(400, {"error": f"undecodable image: {e}"})
                 return
@@ -144,6 +159,11 @@ def serve_forever(engine: InferenceEngine, host: str, port: int, quiet: bool = F
     """Build the HTTP server; returns (server, thread) with warmup running
     in the background so /healthz reports readiness honestly."""
     server = ThreadingHTTPServer((host, port), make_handler(engine, quiet=quiet))
+    # non-daemon handler threads + block_on_close: server_close() joins
+    # in-flight handlers, so a graceful shutdown never truncates a response
+    # mid-write (the Handler.timeout above bounds the join on idle
+    # keep-alive connections)
+    server.daemon_threads = False
     threading.Thread(target=engine.warmup, daemon=True).start()
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -214,9 +234,12 @@ def main():
         signal.signal(sig, lambda *_: stop.set())
     stop.wait()
     # graceful drain: stop accepting, run out the queue, resolve in-flight
+    # futures, then join handler threads so every drained response is fully
+    # written before the process exits
     log("[serve] shutting down (draining queue)")
     server.shutdown()
     engine.close()
+    server.server_close()
 
 
 if __name__ == "__main__":

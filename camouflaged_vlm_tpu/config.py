@@ -45,10 +45,15 @@ def _from_reference_yaml(raw: Dict[str, Any]) -> Tuple[CascadeConfig, Dict[str, 
     m = raw["model"]["args"]
     enc = dict(m.get("encoder_mode", {}))
     # The implemented EVP variant (fft high-pass handcrafted+embedding
-    # tuning, reference models/mmseg .../sam/image_encoder.py): any other
+    # tuning, adaptor prompts, tuning stage 1234, qkv bias): any other
     # requested variant must fail loudly, not silently train the wrong one.
+    # NB the reference itself HARDCODES every selector except qkv_bias
+    # (image_encoder.py:116-123 overrides the yaml), so a config that passes
+    # here runs the same variant under both frameworks.
     for key, want in (("name", "sam"), ("input_type", "fft"),
-                      ("prompt_type", "highpass")):
+                      ("prompt_type", "highpass"), ("tuning_stage", 1234),
+                      ("handcrafted_tune", True), ("embedding_tune", True),
+                      ("adaptor", "adaptor"), ("qkv_bias", True)):
         got = enc.get(key, want)
         if got != want:
             raise ValueError(

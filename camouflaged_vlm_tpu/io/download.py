@@ -66,12 +66,19 @@ def download(
     integrity checking is skipped."""
     os.makedirs(root, exist_ok=True)
     filename = os.path.basename(url)
-    target = os.path.join(root, filename)
 
     if expected_sha256 is None:
         seg = url.split("/")[-2] if "/" in url else ""
         if len(seg) == 64 and all(c in "0123456789abcdef" for c in seg.lower()):
             expected_sha256 = seg.lower()
+
+    if expected_sha256 is None:
+        # Unverifiable URL: namespace the cache entry by the URL itself so a
+        # same-named file from a different host can never be returned in its
+        # place (verified entries are safe to share a name — a mismatch
+        # re-downloads).
+        filename = hashlib.sha256(url.encode()).hexdigest()[:12] + "-" + filename
+    target = os.path.join(root, filename)
 
     if os.path.exists(target) and not os.path.isfile(target):
         raise RuntimeError(f"{target} exists and is not a regular file")

@@ -202,6 +202,10 @@ class InferenceEngine:
         }
         self._ready = threading.Event()
         self._stop = False
+        # serialises submit()'s stop-check-then-put against close()'s
+        # stop-set-then-sentinel: without it a request racing with shutdown
+        # can land behind the drain and its future would hang forever
+        self._submit_lock = threading.Lock()
         # dispatched-but-unfetched batches: the batcher stacks + ships batch
         # k+1 while the completer is still downloading batch k's results
         # (jax dispatch is async; np.asarray is the blocking fetch)
@@ -247,25 +251,40 @@ class InferenceEngine:
         cfg = self.cfg
         assert inp_u8.shape == (cfg.inp_size, cfg.inp_size, 3), inp_u8.shape
         assert cimg_u8.shape == (cfg.clip_size, cfg.clip_size, 3), cimg_u8.shape
-        if self._stop:
-            raise RuntimeError("engine is shut down")
         req = _Request(np.ascontiguousarray(inp_u8), np.ascontiguousarray(cimg_u8))
-        self._queue.put(req)
+        # holding the lock across the (possibly blocking) put is safe: the
+        # worker keeps draining the queue, so a full queue always makes
+        # progress and the lock is released
+        with self._submit_lock:
+            if self._stop:
+                raise RuntimeError("engine is shut down")
+            self._queue.put(req)
         return req.future
 
-    def predict_pil(self, img: Image.Image, timeout: Optional[float] = None) -> Dict:
+    def predict_pil(
+        self,
+        img: Image.Image,
+        timeout: Optional[float] = None,
+        want_mask: bool = True,
+    ) -> Dict:
         """Preprocess one PIL image, run it through the batcher, and return
         a response dict with the mask resized back to the input resolution
-        (same host path as `cli/demo.py`)."""
+        (same host path as `cli/demo.py`). want_mask=False skips the
+        original-resolution mask resize (classification-only clients)."""
         img = img.convert("RGB")
         w, h = img.size
         fut = self.submit(
             sam_image_resized_u8(img, self.cfg.inp_size),
             clip_image_resized_u8(img, self.cfg.clip_size),
         )
-        return self._respond(fut, w, h, timeout, native=False)
+        return self._respond(fut, w, h, timeout, native=False, want_mask=want_mask)
 
-    def predict_bytes(self, data: bytes, timeout: Optional[float] = None) -> Dict:
+    def predict_bytes(
+        self,
+        data: bytes,
+        timeout: Optional[float] = None,
+        want_mask: bool = True,
+    ) -> Dict:
         """predict_pil on raw JPEG/PNG bytes, using the native (libcvtpre)
         decode+resize fast path when built — bit-identical output, but the
         whole preprocess runs in C with the GIL released, so concurrent
@@ -279,30 +298,39 @@ class InferenceEngine:
                     _npp.sam_image_resized_u8(img, self.cfg.inp_size),
                     _npp.clip_image_resized_u8(img, self.cfg.clip_size),
                 )
-                return self._respond(fut, w, h, timeout, native=True)
+                return self._respond(
+                    fut, w, h, timeout, native=True, want_mask=want_mask
+                )
         import io as _io
 
-        return self.predict_pil(Image.open(_io.BytesIO(data)), timeout)
+        return self.predict_pil(Image.open(_io.BytesIO(data)), timeout, want_mask)
 
-    def _respond(self, fut: Future, w: int, h: int, timeout, native: bool) -> Dict:
+    def _respond(
+        self, fut: Future, w: int, h: int, timeout, native: bool, want_mask: bool = True
+    ) -> Dict:
         probs, pred, score = fut.result(timeout=timeout)
+        cls_id = int(pred)
+        out = {
+            "class_id": cls_id,
+            "class": self.classnames[cls_id],
+            "score": float(np.asarray(score, np.float32)[cls_id]),
+        }
+        if not want_mask:
+            return out
         probs = np.asarray(probs)
+        # round (not truncate) so float16 transfer quantises to the SAME
+        # uint8 mask as the mask_dtype="uint8" in-graph path (jnp.round)
         m8 = (
             probs
             if probs.dtype == np.uint8
-            else (probs.astype(np.float32) * 255).astype(np.uint8)
+            else np.round(probs.astype(np.float32) * 255).astype(np.uint8)
         )
         if native:
             mask = _nat.resize(m8, (w, h), _nat.BILINEAR)  # 2D in, 2D out
         else:
             mask = np.asarray(Image.fromarray(m8).resize((w, h), Image.BILINEAR))
-        cls_id = int(pred)
-        return {
-            "class_id": cls_id,
-            "class": self.classnames[cls_id],
-            "score": float(np.asarray(score, np.float32)[cls_id]),
-            "mask": mask,  # (h, w) uint8
-        }
+        out["mask"] = mask  # (h, w) uint8
+        return out
 
     def stats(self) -> Dict:
         with self._stats_lock:
@@ -319,19 +347,18 @@ class InferenceEngine:
     def close(self) -> None:
         """Graceful drain: everything queued before shutdown still runs
         (the sentinel rides the FIFO behind it); anything racing in after
-        is failed, never left hanging."""
-        self._stop = True
-        self._queue.put(_SENTINEL)
+        is rejected by submit(), never left hanging.
+
+        The completer's sentinel is planted by the WORKER as it exits (see
+        `_worker_loop`), so it is FIFO-ordered behind the last dispatched
+        batch even if the joins below time out (e.g. a batch is mid-compile
+        when SIGTERM arrives) — the threads then finish the drain on their
+        own and every future still resolves."""
+        with self._submit_lock:
+            self._stop = True
+            self._queue.put(_SENTINEL)
         self._worker.join(timeout=60)
-        self._inflight.put(_SENTINEL)
         self._completer.join(timeout=60)
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                return
-            if item is not _SENTINEL:
-                item.future.set_exception(RuntimeError("engine is shut down"))
 
     # ---- batching worker ----
 
@@ -344,27 +371,32 @@ class InferenceEngine:
     def _worker_loop(self) -> None:
         max_batch = self.serve_cfg.buckets[-1]
         delay_s = self.serve_cfg.max_delay_ms / 1e3
-        while True:
-            first = self._queue.get()
-            if first is _SENTINEL:
-                return
-            batch: List[_Request] = [first]
-            deadline = time.monotonic() + delay_s
-            while len(batch) < max_batch:
-                remaining = deadline - time.monotonic()
-                try:
-                    item = (
-                        self._queue.get(timeout=remaining)
-                        if remaining > 0
-                        else self._queue.get_nowait()
-                    )
-                except queue.Empty:
-                    break
-                if item is _SENTINEL:
-                    self._flush(batch)
+        try:
+            while True:
+                first = self._queue.get()
+                if first is _SENTINEL:
                     return
-                batch.append(item)
-            self._flush(batch)
+                batch: List[_Request] = [first]
+                deadline = time.monotonic() + delay_s
+                while len(batch) < max_batch:
+                    remaining = deadline - time.monotonic()
+                    try:
+                        item = (
+                            self._queue.get(timeout=remaining)
+                            if remaining > 0
+                            else self._queue.get_nowait()
+                        )
+                    except queue.Empty:
+                        break
+                    if item is _SENTINEL:
+                        self._flush(batch)
+                        return
+                    batch.append(item)
+                self._flush(batch)
+        finally:
+            # planted HERE (not in close()) so it is FIFO-ordered behind the
+            # last dispatched batch even when close()'s join times out
+            self._inflight.put(_SENTINEL)
 
     def _flush(self, batch: List[_Request]) -> None:
         """Stack, ship, and dispatch one batch (async — compute and the

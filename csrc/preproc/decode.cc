@@ -38,7 +38,9 @@ void jpeg_output_nothing(j_common_ptr, int) {}
 int decode_jpeg(const uint8_t *buf, size_t len, int want_ch, cvt_image *out) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
-  uint8_t *pixels = nullptr;
+  // volatile: assigned between setjmp and a possible longjmp — without the
+  // qualifier the error path may free an indeterminate (stale-register) value.
+  uint8_t *volatile pixels = nullptr;
 
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_error_exit;
@@ -151,8 +153,9 @@ int decode_png(const uint8_t *buf, size_t len, int want_ch, cvt_image *out) {
   }
   png_set_error_fn(png, png_get_error_ptr(png), nullptr, png_silent_warning);
 
-  uint8_t *pixels = nullptr;
-  png_bytep *rows = nullptr;
+  // volatile: assigned between setjmp and a possible longjmp (see decode_jpeg)
+  uint8_t *volatile pixels = nullptr;
+  png_bytep *volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     free(pixels);

@@ -64,3 +64,13 @@ def test_reference_config_rejects_unimplemented_variant(tmp_path):
     p.write_text(_yaml.safe_dump(raw))
     with pytest.raises(ValueError, match="input_type"):
         cascade_config_from_yaml(str(p))
+
+    # EVERY variant selector is checked, incl. the ones the reference itself
+    # hardcodes (image_encoder.py:116-123) and qkv_bias (the one it honors)
+    for key, bad in (("tuning_stage", 12), ("handcrafted_tune", False),
+                     ("embedding_tune", False), ("adaptor", "fully_shared"),
+                     ("qkv_bias", False)):
+        raw = {"model": {"args": {"inp_size": 1024, "encoder_mode": {key: bad}}}}
+        p.write_text(_yaml.safe_dump(raw))
+        with pytest.raises(ValueError, match=key):
+            cascade_config_from_yaml(str(p))

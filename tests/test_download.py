@@ -83,6 +83,18 @@ def test_download_refuses_directory_target(server, tmp_path):
         download(f"{base}/models/{SHA}/dir.pt", root=str(tmp_path))
 
 
+def test_unverified_urls_do_not_collide(server, tmp_path):
+    """URLs without an embedded SHA are unverifiable, so the cache must key
+    them by URL — a same-named file from another host is a different entry."""
+    base, hits = server
+    p1 = download(f"{base}/hostA/model.pt", root=str(tmp_path))
+    p2 = download(f"{base}/hostB/model.pt", root=str(tmp_path))
+    assert p1 != p2
+    before = len(hits)
+    assert download(f"{base}/hostA/model.pt", root=str(tmp_path)) == p1
+    assert len(hits) == before  # still a cache hit for the same URL
+
+
 def test_resolve_checkpoint(server, tmp_path):
     base, _ = server
     # existing path passes through

@@ -115,6 +115,9 @@ def test_predict_pil_shapes(engine_parts, rng):
         assert out["mask"].shape == (50, 70)
         assert out["mask"].dtype == np.uint8
         assert isinstance(out["score"], float)
+        # classification-only fast path: no mask resize, no mask key
+        out2 = eng.predict_pil(img, timeout=120, want_mask=False)
+        assert "mask" not in out2 and out2["class_id"] == out["class_id"]
     finally:
         eng.close()
 
@@ -280,6 +283,18 @@ def test_http_server_end_to_end(engine_parts, rng):
         assert r.status == 400
         r.read()  # drain before reusing the keep-alive connection
 
+        # POST to an unknown path must drain the request body, or the
+        # keep-alive connection desynchronises (the unread image bytes
+        # would be parsed as the next request line)
+        conn.request("POST", "/segment", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        conn.request("POST", "/predict?mask=0", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        assert json.loads(r.read())["class"] in CLASSNAMES
+
         # stats endpoint reflects the traffic
         conn.request("GET", "/stats")
         stats = json.loads(conn.getresponse().read())
@@ -290,5 +305,8 @@ def test_http_server_end_to_end(engine_parts, rng):
         text = conn.getresponse().read().decode()
         assert "cvlm_requests_total" in text and "cvlm_ready 1" in text
     finally:
+        if "conn" in locals():
+            conn.close()  # EOF the keep-alive handler so the join is quick
         server.shutdown()
         eng.close()
+        server.server_close()  # joins the (non-daemon) handler threads
