@@ -182,6 +182,40 @@ def test_close_drains_then_rejects(engine_parts, rng):
         eng.submit(inp[0], cimg[0])
 
 
+def test_concurrent_submit_close_race(engine_parts, rng):
+    """Submits racing close() from many threads: every future either
+    resolves (queued before the drain sentinel) or submit() raises —
+    none may hang. Exercises the submit-lock ordering guarantee."""
+    eng = _make_engine(engine_parts, max_delay_ms=1.0)
+    inp, cimg = _rand_inputs(engine_parts[1], rng, 1)
+    results = []  # (kind, payload)
+    lock = threading.Lock()
+
+    def hammer():
+        for _ in range(8):
+            try:
+                fut = eng.submit(inp[0], cimg[0])
+            except RuntimeError:
+                with lock:
+                    results.append(("rejected", None))
+                continue
+            with lock:
+                results.append(("accepted", fut))
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    eng.close()  # races the hammers
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads)
+    assert len(results) == 32
+    for kind, fut in results:
+        if kind == "accepted":
+            probs, pred, score = fut.result(timeout=120)  # must resolve
+            assert probs.ndim == 2
+
+
 def test_warmup_sets_ready(engine_parts):
     eng = _make_engine(engine_parts, buckets=(1,))
     try:
