@@ -982,12 +982,19 @@ def _qkv_packed_global_kernel(scale, head_group, d, H, W, q_ref, k_ref, v_ref, r
         # measure |s| < 30. The XLA ref/VJP below keeps the max-subtract —
         # mathematically identical, so parity tests still anchor this path.
         p = _shift_exp(sT)
-        l = jnp.sum(p, axis=0, keepdims=True)
-        p = (p / l).astype(v.dtype)
-        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T
+        l = jnp.sum(p, axis=0, keepdims=True)  # (1, block_q)
+        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T.
+        # 1/l is folded into the (d, block_q) output instead of normalising
+        # the (N, block_q) probability matrix — N/d = 51x fewer divides, and
+        # the transposed-score layout makes l already row-oriented so the
+        # fold is a plain broadcast multiply (scripts/probe_gdivfold.py:
+        # 7.058 -> 6.951 ms/block; the same fold is neutral at the windowed
+        # kernel's Nw/d = 2.4x ratio, probe_wsoft w2/w3 — not applied there).
         ot = jax.lax.dot_general(
-            v, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (d, block_q)
+        ot = ot * (1.0 / l)
         o_ref[0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
