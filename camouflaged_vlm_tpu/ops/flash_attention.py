@@ -983,18 +983,23 @@ def _qkv_packed_global_kernel(scale, head_group, d, H, W, q_ref, k_ref, v_ref, r
         # mathematically identical, so parity tests still anchor this path.
         p = _shift_exp(sT)
         l = jnp.sum(p, axis=0, keepdims=True)  # (1, block_q)
-        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T.
-        # 1/l is folded into the (d, block_q) output instead of normalising
-        # the (N, block_q) probability matrix — N/d = 51x fewer divides, and
-        # the transposed-score layout makes l already row-oriented so the
-        # fold is a plain broadcast multiply (scripts/probe_gdivfold.py:
-        # 7.058 -> 6.951 ms/block; the same fold is neutral at the windowed
-        # kernel's Nw/d = 2.4x ratio, probe_wsoft w2/w3 — not applied there).
+        # d-major output (see _qkv_packed_windows_kernel): o^T = v^T p^T,
+        # with the probabilities NORMALISED IN F32 before the bf16 pv dot.
+        # Folding 1/l into the (d, block_q) output instead was probed
+        # (scripts/probe_gdivfold.py: 7.058 -> 6.951 ms/block, ~1.5% of this
+        # kernel) and REVERTED: it regresses on-chip parity vs the XLA ref
+        # from 2.0e-5 to 6.55e-4 mean-relative — past the 1e-4 gate in
+        # scripts/verify_kernels_tpu.py — and the regression is NOT the
+        # numerator/denominator inconsistency (computing l from the
+        # bf16-rounded p measures identically, scripts/probe_gdivfold3.py):
+        # bf16-rounding the raw exp(s - SHIFT) values loses more than
+        # rounding the normalised p/l distribution. Accuracy gate wins over
+        # a ~0.1% e2e perf delta.
+        pn = (p / l).astype(v.dtype)
         ot = jax.lax.dot_general(
-            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            v, pn, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (d, block_q)
-        ot = ot * (1.0 / l)
         o_ref[0, h * d : (h + 1) * d, :] = ot.astype(o_ref.dtype)
 
 
