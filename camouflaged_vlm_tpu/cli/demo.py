@@ -96,11 +96,17 @@ def main():
     pred_cls = classnames[int(pred[0])]
     log(f"predicted class: {pred_cls}")
 
-    # resize mask back to the original resolution (host, cv2-free PIL path)
-    mask_img = Image.fromarray((probs * 255).astype(np.uint8)).resize(
-        (orig.shape[1], orig.shape[0]), Image.BILINEAR
+    # resize mask back to the original resolution: float-first with
+    # cv2.INTER_LINEAR semantics, then quantise — the reference demo's
+    # order (`demo.py:127` resize -> `demo.py:48` *255 truncate)
+    from ..utils.image import bilinear_resize_f32
+
+    mask01 = (
+        (bilinear_resize_f32(probs, orig.shape[0], orig.shape[1]) * 255)
+        .astype(np.uint8)
+        .astype(np.float32)
+        / 255.0
     )
-    mask01 = np.asarray(mask_img, np.float32) / 255.0
 
     os.makedirs(args.out_dir, exist_ok=True)
     out = overlay_mask(orig, mask01)

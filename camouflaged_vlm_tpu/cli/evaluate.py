@@ -38,7 +38,7 @@ from .common import assemble_cascade
 def evaluate(
     model, cfg, params, bank, index: OVCamoIndex,
     batch_size: int = 4, save_img_path: str | None = None, num_workers: int = 8,
-    mesh=None, oracle_cls: bool = False,
+    mesh=None, oracle_cls: bool = False, mask_dtype: str = "float16",
 ):
     """Run the full OVCOS eval. With `mesh` (a jax Mesh with a 'data' axis),
     each batch is sharded over the axis and params are replicated — the
@@ -97,10 +97,13 @@ def evaluate(
             params, inp, cimg, cmask, text_features,
             method=model.infer_cascade_with_text,
         )
-        # fp16 halves the device->host mask traffic (tunneled links move
-        # ~50 MB/s); resolution ~3e-4 is finer than the 256-bin threshold
-        # metrics' own quantisation
-        return probs.astype(jnp.float16), pred, score
+        # fp16 (default) halves the device->host mask traffic (tunneled
+        # links move ~50 MB/s); resolution ~3e-4 is finer than the 256-bin
+        # threshold metrics' own quantisation. mask_dtype="float32" keeps
+        # full precision for programmatic consumers of raw probabilities
+        # (and for cross-framework A/B runs, tests/test_eval_ab.py).
+        out_dt = jnp.float16 if mask_dtype == "float16" else jnp.float32
+        return probs.astype(out_dt), pred, score
 
     cod = CODMetrics()
     metricer = OVCOSMetricer(class_names=classnames, num_workers=num_workers)
@@ -137,15 +140,17 @@ def evaluate(
     # it absorb the dataset.
     max_metric_queue = 4 * num_workers
 
+    from ..utils.image import bilinear_resize_f32
+
     def image_work(prob, s, pre_cls):
         cod.step(prob, s.gt[:, :, 0])
         gt = np.asarray(Image.open(s.mask_path).convert("L"))
         h, w = gt.shape
-        pred_full = np.asarray(
-            Image.fromarray((prob * 255).astype(np.uint8)).resize(
-                (w, h), Image.BILINEAR
-            )
-        )
+        # Reference order and arithmetic (`test_ovcos_maskdecoder_edge.py:
+        # 124-131`): resize the FLOAT probability with cv2.INTER_LINEAR
+        # semantics, THEN truncate-quantise to uint8. (Quantise-then-PIL-
+        # resize differs: PIL antialiases on downscale and rounds.)
+        pred_full = (bilinear_resize_f32(prob, h, w) * 255).astype(np.uint8)
         metricer.step(
             pre=pred_full, gt=gt, pre_cls=pre_cls, gt_cls=s.label_name,
             gt_path=s.mask_path,
@@ -229,6 +234,11 @@ def main():
     p.add_argument("--maple-ckpt", default=None)
     p.add_argument("--text-bank", default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--mask-dtype", default="float16", choices=["float16", "float32"],
+        help="device->host probability transfer dtype (float16 halves bytes; "
+        "float32 for full-precision programmatic consumers)",
+    )
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke runs)")
     p.add_argument(
         "--data-parallel", action="store_true",
@@ -276,7 +286,7 @@ def main():
     results = evaluate(
         model, cfg, params, bank, index,
         batch_size=args.batch_size, save_img_path=save_path, mesh=mesh,
-        oracle_cls=args.oracle_cls,
+        oracle_cls=args.oracle_cls, mask_dtype=args.mask_dtype,
     )
     log(json.dumps(results, indent=2))
     with open(os.path.join(args.output_dir, "results.json"), "w") as f:

@@ -152,6 +152,24 @@ def load_ref_cascade_module(train_bank, test_bank) -> types.ModuleType:
     """
     import torch
 
+    if "refmodels.sam_maskdecoder_edge" in sys.modules:
+        # Already loaded (another test file): registration ran once at exec
+        # time and lives in the cached module's _registry — re-running the
+        # stub dance would clobber it with a fresh empty dict. Only the
+        # bank loader is per-call state (each caller brings its own banks).
+        mod = sys.modules["refmodels.sam_maskdecoder_edge"]
+        orig_load = torch.load
+
+        def fake_load(path, *a, **k):
+            if isinstance(path, str) and "TrainCamoPrompts" in path:
+                return train_bank
+            if isinstance(path, str) and "TestCamoPrompts" in path:
+                return test_bank
+            return orig_load(path, *a, **k)
+
+        mod._bank_loader = fake_load
+        return mod
+
     refsam = load_refsam()
     load_ref_maple()
 
@@ -242,6 +260,57 @@ def load_ref_ovcos() -> types.ModuleType:
     )
     _stub_module("py_sod_metrics", sod_metrics=sod_metrics, utils=utils)
     return _load_file("ref_ovcos_metricer", f"{REF}/recorder/ovcos_metricer.py")
+
+
+def load_ref_eval_module() -> types.ModuleType:
+    """The reference's OWN eval entry (`test_ovcos_maskdecoder_edge.py`)
+    as an oracle — gives the real `eval_psnr_ovcamo_both` (:68-148), i.e.
+    the complete per-image host path: calc_cod on the model-res sigmoid,
+    stage-2 alpha handoff + Classification.process, cv2 float resize to the
+    original mask size, *255 truncation, OVCOSMetricer.step, and the final
+    aggregation. Call AFTER load_ref_cascade_module (shares the `models`
+    stub). Caller must neutralise `.cuda()` (torch here is CPU-only).
+    """
+    if "ref_eval_entry" in sys.modules:
+        return sys.modules["ref_eval_entry"]
+
+    # recorder package: real ovcos metricer + real self-contained sod
+    # metrics + real Classification evaluator (sklearn), no vendored extras
+    ovcos = load_ref_ovcos()
+    sm = sys.modules["ref_sod_metric"]
+    rec = _stub_module("recorder", OVCOSMetricer=ovcos.OVCOSMetricer)
+    sys.modules["recorder.sod_metric"] = sm
+    rec.sod_metric = sm
+
+    # REAL root utils.py (calc_cod / Averager / set_log_path). It needs
+    # `recorder.sod_metric` (above) + tensorboardX (installed). If the maple
+    # loader already planted its {log} stub under "utils", load the real
+    # file under the name and graft the missing symbols.
+    if "utils" in sys.modules and not hasattr(sys.modules["utils"], "calc_cod"):
+        real_utils = _load_file("ref_root_utils", f"{REF}/utils.py")
+        for k in dir(real_utils):
+            if not k.startswith("__") and not hasattr(sys.modules["utils"], k):
+                setattr(sys.modules["utils"], k, getattr(real_utils, k))
+    elif "utils" not in sys.modules:
+        _load_file("utils", f"{REF}/utils.py")
+
+    ne = _load_file("recorder.new_evaluator", f"{REF}/recorder/new_evaluator.py")
+    rec.new_evaluator = ne
+
+    # datasets package: only the class-name constants are touched at import
+    cn = _load_file(
+        "datasets.ovcamo_info.class_names",
+        f"{REF}/datasets/ovcamo_info/class_names.py",
+    )
+    ovi = _stub_module("datasets.ovcamo_info", class_names=cn)
+    _stub_module("datasets", ovcamo_info=ovi)
+
+    _stub_module("models")  # `import models` (registry already live if the
+    # cascade module was loaded first; the eval fn itself never uses it)
+    mac = _stub_module("cocotrainers.mapleAlphaCLIP", TestMaPLeAlphaCLIP=object)
+    _stub_module("cocotrainers", mapleAlphaCLIP=mac)
+
+    return _load_file("ref_eval_entry", f"{REF}/test_ovcos_maskdecoder_edge.py")
 
 
 def randomize_torch_module(module, std=0.05, seed=0):
