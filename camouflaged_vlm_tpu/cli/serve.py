@@ -184,7 +184,11 @@ def main():
     p.add_argument("--classnames", default=None, help="comma-separated; default OVCamo test split")
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--buckets", default="1,2,4,8", help="compiled batch sizes, ascending")
+    p.add_argument(
+        "--buckets", default="1,4,16,32",
+        help="compiled batch sizes, ascending (default: bench-derived — "
+        "throughput saturates at 32, small buckets bound latency; PERF.md)",
+    )
     p.add_argument("--max-delay-ms", type=float, default=10.0)
     p.add_argument(
         "--data-parallel", action="store_true",

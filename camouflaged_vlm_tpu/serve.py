@@ -80,7 +80,15 @@ class ServeConfig:
         transfer with compute; the bound caps device-side input buffers.
     """
 
-    buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    # Defaults derived from the round-3/4 bench sweep (PERF.md): throughput
+    # saturates at batch 32 (20.76 img/s vs 20.68 @8, 17.1 @1), and batch
+    # 16's pathological remote compile is gone — so a throughput deployment
+    # rides 32 while the small buckets bound interactive latency (a lone
+    # request compiles/pads at 1, never at 32). The trade: larger buckets
+    # add coalescing delay (max_delay_ms) and per-request wait under light
+    # load; smaller ones cap peak img/s at the b1-b4 rate. Override
+    # per-deployment via `cli/serve.py --buckets`.
+    buckets: Tuple[int, ...] = (1, 4, 16, 32)
     max_delay_ms: float = 10.0
     queue_capacity: int = 256
     mask_dtype: str = "float16"
@@ -199,6 +207,10 @@ class InferenceEngine:
             "batch_size_hist": {},  # real (unpadded) sizes
             "latency_ms_sum": 0.0,
             "latency_ms_max": 0.0,
+            # per-BUCKET request latency (count/sum/max): ties observed
+            # latency to the compiled batch size a request actually rode —
+            # the b1 row is the interactive-path floor (PERF.md latency table)
+            "bucket_latency_ms": {},
         }
         self._ready = threading.Event()
         self._stop = False
@@ -336,6 +348,10 @@ class InferenceEngine:
         with self._stats_lock:
             s = dict(self._stats)
             s["batch_size_hist"] = dict(self._stats["batch_size_hist"])
+            s["bucket_latency_ms"] = {
+                b: {**v, "mean": v["sum"] / v["count"]}
+                for b, v in self._stats["bucket_latency_ms"].items()
+            }
         if s["requests"]:
             s["latency_ms_mean"] = s["latency_ms_sum"] / s["requests"]
         s["pad_fraction"] = (
@@ -446,9 +462,15 @@ class InferenceEngine:
                 s["batches"] += 1
                 s["batched_images"] += bucket
                 s["batch_size_hist"][n] = s["batch_size_hist"].get(n, 0) + 1
+                bl = s["bucket_latency_ms"].setdefault(
+                    bucket, {"count": 0, "sum": 0.0, "max": 0.0}
+                )
                 for r in batch:
                     lat = (now - r.t_enqueue) * 1e3
                     s["latency_ms_sum"] += lat
                     s["latency_ms_max"] = max(s["latency_ms_max"], lat)
+                    bl["count"] += 1
+                    bl["sum"] += lat
+                    bl["max"] = max(bl["max"], lat)
             for i, r in enumerate(batch):
                 r.future.set_result((probs[i], int(pred[i]), score[i]))

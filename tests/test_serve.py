@@ -104,6 +104,60 @@ def test_bucket_selection(engine_parts):
         eng.close()
 
 
+def test_default_buckets_are_bench_derived():
+    """The out-of-the-box bucket set must include the measured throughput
+    point (batch 32, PERF.md round-3/4 sweep) AND a batch-1 latency bucket
+    (VERDICT round-3 weak #4: the old (1,2,4,8) default left a throughput
+    deployment riding the wrong buckets)."""
+    cfg = ServeConfig()
+    assert 32 in cfg.buckets
+    assert 1 in cfg.buckets
+
+
+def test_large_bucket_coalesces_and_matches_direct(engine_parts, rng):
+    """A burst bigger than the mid buckets rides the 32 bucket (padded) and
+    every request still gets its own correct result."""
+    model, cfg, params, bank = engine_parts
+    eng = _make_engine(engine_parts, buckets=(1, 32), max_delay_ms=300.0)
+    try:
+        n = 20
+        inp, cimg = _rand_inputs(cfg, rng, n)
+        futures = [None] * n
+        threads = [
+            threading.Thread(
+                target=lambda i=i: futures.__setitem__(i, eng.submit(inp[i], cimg[i]))
+            )
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        results = [f.result(timeout=300) for f in futures]
+
+        s = eng.stats()
+        assert s["requests"] == n
+        # any multi-request batch rides the 32 bucket (buckets=(1,32)):
+        # batched_images sums BUCKET sizes, so >=32 proves the large bucket
+        # actually ran (batch_size_hist keys are pre-pad request counts)
+        assert s["batches"] < n
+        assert s["batched_images"] >= 32, s
+
+        for i in (0, n // 2, n - 1):
+            probs, pred, score = results[i]
+            p1, d1, s1 = eng._run(
+                eng._params, eng._text_features, inp[i : i + 1], cimg[i : i + 1]
+            )
+            np.testing.assert_allclose(
+                probs.astype(np.float32),
+                np.asarray(p1, np.float32)[0, :, :, 0],
+                atol=2e-3,
+            )
+            assert pred == int(d1[0])
+    finally:
+        eng.close()
+
+
 def test_predict_pil_shapes(engine_parts, rng):
     eng = _make_engine(engine_parts, max_delay_ms=1.0)
     try:
