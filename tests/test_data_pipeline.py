@@ -189,6 +189,7 @@ def test_end_to_end_eval_on_synthetic(synthetic_dataset):
     assert 0 <= results["mae"] <= 1 and 0 <= results["sm"] <= 1
 
 
+@pytest.mark.slow  # ~2 min; nightly tier (the flag is a thin pre_cls=gt_cls bypass)
 def test_oracle_cls_eval(synthetic_dataset):
     """pre_cls=gt_cls bypass (reference debug entry): class-aware scores are
     never hurt by removing classification mistakes."""
@@ -213,6 +214,7 @@ def test_oracle_cls_eval(synthetic_dataset):
     assert oracle["ori_mae"] == plain["ori_mae"]
 
 
+@pytest.mark.slow  # ~2 min equality; fast tier covers dp via the serve-engine dp test
 def test_data_parallel_eval_matches_single_device(synthetic_dataset):
     """evaluate() with a data-sharded mesh == single-device results."""
     from camouflaged_vlm_tpu.cli.common import assemble_cascade

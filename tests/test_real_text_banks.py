@@ -43,6 +43,7 @@ def test_real_banks_load_shape_and_norm():
     assert np.isfinite(train).all() and np.isfinite(test).all()
 
 
+@pytest.mark.slow  # ~1.5 min; bank parsing/ingestion stays in the fast tier
 def test_cascade_inference_with_real_test_bank():
     """assemble_cascade(--text-bank <real file>) end to end: a tiny cascade
     whose CLIP joint space is widened to the real 768 dims classifies a

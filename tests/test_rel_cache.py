@@ -6,6 +6,7 @@ See models/sam_encoder.py::precompute_rel_tables."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from camouflaged_vlm_tpu.factory import (
     attach_rel_cache,
@@ -18,6 +19,7 @@ from camouflaged_vlm_tpu.factory import (
 CLASSNAMES = ["cat", "owl", "snow leopard", "scorpionfish"]
 
 
+@pytest.mark.slow  # ~2 min bitwise-equality pass (fast tier keeps the edge-window hoist check)
 def test_rel_cache_is_pure_hoist():
     model, cfg = build_tiny_cascade()
     bank = make_bank_inputs(cfg, CLASSNAMES)

@@ -19,6 +19,8 @@ from PIL import Image
 
 import jax
 
+pytestmark = pytest.mark.slow  # ~6 min equality run (fast tier skips; `pytest -m slow`)
+
 
 @pytest.fixture(scope="module")
 def synthetic_dataset(tmp_path_factory):

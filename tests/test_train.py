@@ -277,6 +277,7 @@ def test_grad_accum_matches_full_batch(tiny_train_setup, rng):
     assert int(s_accum.step) == 1  # one optimizer update, not accum_steps
 
 
+@pytest.mark.slow  # ~1 min equality; the unsharded accum-equality test stays fast
 def test_grad_accum_dp_mesh_matches_unsharded(tiny_train_setup, rng):
     """The accum step under a data-parallel mesh (microbatch dim sharded,
     leading accum dim replicated — cli/train.py's accum>1 sharding) matches
