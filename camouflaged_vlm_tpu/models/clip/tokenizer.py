@@ -20,6 +20,7 @@ import gzip
 import html
 import os
 import re
+import unicodedata
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -70,6 +71,14 @@ except ImportError:
 
 
 def _clean(text: str) -> str:
+    # The reference cleans with ftfy.fix_text + double html.unescape
+    # (`alpha_clip_rw/simple_tokenizer.py:50-58`). For well-formed input
+    # ftfy's lasting effect is NFC normalisation (it composes combining
+    # marks before byte-level BPE, so "café" tokenizes the same whether the
+    # accent arrives precomposed or combining); mojibake *repair* — fixing
+    # already-corrupted double-encoded text — is out of scope for class
+    # names and prompts, which this framework treats as authoritative.
+    text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text.strip())
     return text.strip().lower()

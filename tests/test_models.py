@@ -134,6 +134,22 @@ def test_tokenizer_known_clip_ids():
     assert ids.argmax() == 7
 
 
+def test_tokenizer_non_ascii_normalisation():
+    """NFC composition before byte-level BPE — the ftfy-equivalent cleanup
+    the reference applies (`alpha_clip_rw/simple_tokenizer.py:50-53`).
+    A combining-accent "café" must tokenize like the precomposed form, and
+    html entities must resolve (double-unescape like the reference)."""
+    composed = tokenize("a photo of a café.")[0]
+    decomposed = tokenize("a photo of a café.")[0]
+    np.testing.assert_array_equal(composed, decomposed)
+    # sanity: the non-ascii word actually produced non-trivial ids
+    assert composed.argmax() > 6
+
+    entity = tokenize("black &amp;amp; white cat")[0]
+    literal = tokenize("black & white cat")[0]
+    np.testing.assert_array_equal(entity, literal)
+
+
 def test_clip_prompt_bank_structure():
     cfg = AlphaClipConfig.tiny()
     rng = np.random.default_rng(1)
