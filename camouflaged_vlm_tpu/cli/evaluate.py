@@ -62,10 +62,17 @@ def evaluate(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..parallel import shard_params
+
         assert batch_size % mesh.shape["data"] == 0, (batch_size, dict(mesh.shape))
         batch_sharding = NamedSharding(mesh, P("data"))
-        repl = NamedSharding(mesh, P())
-        params = jax.device_put(params, repl)
+        # Megatron partition rules over the param paths: with a model axis
+        # of size 1 every spec degenerates to replication (the pure-dp
+        # case); with n_model > 1 the qkv/MLP-up kernels shard their output
+        # features and proj/MLP-down their input features, and GSPMD
+        # inserts one all-reduce per block over ICI — tensor-parallel eval
+        # for latency-bound multi-chip deployments.
+        params = shard_params(mesh, params)
         put = lambda a: jax.device_put(a, batch_sharding)
     else:
         put = jnp.asarray
@@ -245,6 +252,12 @@ def main():
         help="shard each batch over all devices (jax Mesh 'data' axis)",
     )
     p.add_argument(
+        "--n-model", type=int, default=1,
+        help="tensor-parallel axis size (Megatron rules; devices are "
+        "arranged as data x model, so --data-parallel with --n-model 2 on "
+        "8 chips gives a 4x2 mesh)",
+    )
+    p.add_argument(
         "--oracle-cls", action="store_true",
         help="score class-aware metrics with the GT class (the reference "
         "debug entry's pre_cls=gt_cls bypass) — segmentation-only quality",
@@ -278,11 +291,13 @@ def main():
     )
     save_path = os.path.join(args.output_dir, "result_image") if args.save_images else None
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.n_model > 1:
         from ..parallel import make_mesh
 
-        mesh = make_mesh()
-        log(f"[eval] data-parallel over {mesh.shape['data']} devices")
+        mesh = make_mesh(n_model=args.n_model)
+        log(
+            f"[eval] mesh data={mesh.shape['data']} x model={mesh.shape['model']}"
+        )
     results = evaluate(
         model, cfg, params, bank, index,
         batch_size=args.batch_size, save_img_path=save_path, mesh=mesh,

@@ -195,6 +195,10 @@ def main():
         help="shard each batch over all chips (buckets must divide evenly)",
     )
     p.add_argument(
+        "--n-model", type=int, default=1,
+        help="tensor-parallel axis size (Megatron rules; data x model mesh)",
+    )
+    p.add_argument(
         "--mask-dtype", default="uint8", choices=["uint8", "float16"],
         help="mask transfer dtype; uint8 halves device->host bytes and is "
         "lossless for the 8-bit PNG response",
@@ -214,11 +218,13 @@ def main():
         tiny=args.tiny,
     )
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.n_model > 1:
         from ..parallel import make_mesh
 
-        mesh = make_mesh()
-        log(f"[serve] data-parallel over {mesh.shape['data']} devices")
+        mesh = make_mesh(n_model=args.n_model)
+        log(
+            f"[serve] mesh data={mesh.shape['data']} x model={mesh.shape['model']}"
+        )
     engine = InferenceEngine(
         model, cfg, params, bank, classnames,
         ServeConfig(

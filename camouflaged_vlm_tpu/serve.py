@@ -140,10 +140,14 @@ class InferenceEngine:
 
         self._params = attach_rel_cache(params, cfg)
         if mesh is not None:
-            # Multi-chip serving: params replicated, each batch sharded over
-            # the mesh's data axis — one request batch fans out across chips
-            # (throughput scaling the reference's single-GPU loop can't do).
+            # Multi-chip serving: each batch sharded over the mesh's data
+            # axis, params sharded by the Megatron partition rules (pure
+            # replication when the model axis is 1; with a model axis the
+            # per-block weights tensor-parallelise for latency scaling) —
+            # throughput the reference's single-GPU loop can't do.
             from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel import shard_params
 
             n_data = mesh.shape["data"]
             bad = [b for b in serve_cfg.buckets if b % n_data]
@@ -151,9 +155,7 @@ class InferenceEngine:
                 f"buckets {bad} not divisible by the data axis ({n_data}); "
                 f"every compiled batch shape must shard evenly"
             )
-            self._params = jax.device_put(
-                self._params, NamedSharding(mesh, P())
-            )
+            self._params = shard_params(mesh, self._params)
             batch_sharding = NamedSharding(mesh, P("data"))
             self._put = lambda a: jax.device_put(a, batch_sharding)
         else:
