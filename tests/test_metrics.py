@@ -150,3 +150,31 @@ def test_classification_evaluator():
     assert abs(res["accuracy"] - 100 * 2 / 3) < 1e-9
     assert res["top5"] == 100.0
     assert 0 < res["macro_f1"] <= 100.0
+
+
+# ---- eval host-path resize (cv2.INTER_LINEAR semantics, oracle-checked) ----
+
+@pytest.mark.parametrize(
+    "shape,out", [((64, 64), (100, 80)), ((64, 64), (37, 53)),
+                  ((100, 130), (64, 64)), ((1024, 1024), (333, 457)),
+                  ((5, 7), (5, 7))]
+)
+def test_bilinear_resize_matches_cv2(shape, out):
+    """utils.image.bilinear_resize_f32 vs cv2.resize(INTER_LINEAR) — the
+    reference eval's pred->original-size resample
+    (`test_ovcos_maskdecoder_edge.py:36-42`). Covers up- and down-scale
+    (cv2 does NOT antialias on downscale, unlike PIL)."""
+    cv2 = pytest.importorskip("cv2")
+    from camouflaged_vlm_tpu.utils.image import bilinear_resize_f32
+
+    rng = np.random.default_rng(0)
+    a = rng.random(shape, dtype=np.float32)
+    want = cv2.resize(a, dsize=(out[1], out[0]), interpolation=cv2.INTER_LINEAR)
+    got = bilinear_resize_f32(a, *out)
+    np.testing.assert_allclose(got, want, atol=2e-7)
+    # and through the reference's truncate-quantise: at most isolated
+    # 1-ulp boundary flips
+    wu = (want * 255).astype(np.uint8).astype(np.int16)
+    gu = (got * 255).astype(np.uint8).astype(np.int16)
+    assert np.abs(wu - gu).max() <= 1
+    assert (wu != gu).mean() < 1e-4
