@@ -187,11 +187,13 @@ def main():
 
     t_start = time.monotonic()
     best_ips, best_b, per_batch = 0.0, 0, {}
-    for B in SWEEP:
+
+    def run_batch(B) -> None:
+        nonlocal best_ips, best_b
         remaining = BUDGET_S - (time.monotonic() - t_start)
         if best_b and remaining < MIN_BATCH_S:
-            per_batch[B] = "skipped: budget exhausted"
-            continue
+            per_batch.setdefault(B, "skipped: budget exhausted")
+            return
         timeout = min(PER_BATCH_TIMEOUT_S, max(remaining, MIN_BATCH_S))
         cmd = [
             sys.executable, __file__, "--batch", str(B),
@@ -208,7 +210,7 @@ def main():
             if r.returncode != 0 or line is None:
                 tail = (r.stderr or r.stdout or "")[-200:].replace("\n", " ")
                 per_batch[B] = f"failed: rc={r.returncode}: {tail}"
-                continue
+                return
             ips = json.loads(line)["value"]
             per_batch[B] = ips
             if ips > best_ips:
@@ -218,6 +220,16 @@ def main():
                 headline(best_ips, best_b, args.dtype)
         except subprocess.TimeoutExpired:
             per_batch[B] = f"failed: exceeded {timeout:.0f}s"
+
+    for B in SWEEP:
+        run_batch(B)
+    # One retry pass for transiently-failed batches (the tunnel occasionally
+    # drops a transfer mid-run — observed once in the round-4 validation
+    # sweep) while budget remains. Timed-out batches are NOT retried: a
+    # compile that blew the budget once will blow it again.
+    for B in [b for b in SWEEP
+              if str(per_batch.get(b, "")).startswith("failed: rc=")]:
+        run_batch(B)
 
     print(json.dumps({"per_batch": per_batch}), flush=True)
     if best_b == 0:

@@ -1,0 +1,107 @@
+"""bench.py orchestration tests (mocked subprocesses — no TPU).
+
+The round-3 driver record was lost because the old bench printed nothing
+until an entire multi-batch sweep finished (BENCH_r03.json: rc=124, empty
+tail). These pin the properties that prevent a repeat:
+
+  * the headline JSON line is printed as soon as the FIRST batch lands
+    (and re-printed last), so a kill mid-sweep still leaves a record;
+  * the wall-clock budget skips batches it can no longer afford;
+  * a transiently-failed batch (nonzero rc) is retried once, a timed-out
+    one is not;
+  * an all-failed sweep exits nonzero instead of recording 0.0 img/s.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture
+def bench(monkeypatch):
+    spec = importlib.util.spec_from_file_location("bench_under_test", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    return mod
+
+
+class _R:
+    def __init__(self, rc, out):
+        self.returncode, self.stdout, self.stderr = rc, out, ""
+
+
+def _metric_lines(capsys):
+    out = capsys.readouterr().out
+    return [json.loads(l) for l in out.splitlines() if l.strip()]
+
+
+def test_headline_streams_first_and_prints_last(bench, capsys, monkeypatch):
+    def fake_run(cmd, capture_output, text, timeout):
+        B = int(cmd[cmd.index("--batch") + 1])
+        return _R(0, json.dumps({"metric": "x", "value": {8: 20.7, 32: 20.8, 64: 20.6, 1: 17.0}[B]}) + "\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.main()
+    lines = _metric_lines(capsys)
+    # first printed line is already a valid headline (from batch 8)
+    assert lines[0]["metric"] == "cascade_images_per_sec_per_chip"
+    assert lines[0]["value"] == 20.7
+    assert "mfu" in lines[0] and "achieved_tflops" in lines[0]
+    # last line is the final headline with the best batch
+    assert lines[-1]["value"] == 20.8
+    assert lines[-1]["vs_baseline"] == round(20.8 / 20.0, 3)
+
+
+def test_transient_failure_retried_timeout_not(bench, capsys, monkeypatch):
+    calls = []
+
+    def fake_run(cmd, capture_output, text, timeout):
+        B = int(cmd[cmd.index("--batch") + 1])
+        calls.append(B)
+        if B == 32 and calls.count(32) == 1:
+            return _R(1, "transfer closed")  # transient: retried
+        if B == 64:
+            raise subprocess.TimeoutExpired(cmd, timeout)  # not retried
+        val = {8: 20.7, 32: 20.8, 1: 17.0}[B]
+        return _R(0, json.dumps({"metric": "x", "value": val}) + "\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.main()
+    assert calls.count(32) == 2 and calls.count(64) == 1
+    lines = _metric_lines(capsys)
+    assert lines[-1]["value"] == 20.8  # retry recovered the best batch
+    per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
+    assert per_batch["32"] == 20.8
+    assert str(per_batch["64"]).startswith("failed: exceeded")
+
+
+def test_budget_exhaustion_skips_later_batches(bench, capsys, monkeypatch):
+    monkeypatch.setattr(bench, "BUDGET_S", 100.0)
+    clock = iter([0.0, 0.0, 99.5, 99.5, 99.5, 99.5, 99.5, 99.5, 99.5, 99.5])
+
+    def fake_run(cmd, capture_output, text, timeout):
+        B = int(cmd[cmd.index("--batch") + 1])
+        return _R(0, json.dumps({"metric": "x", "value": 20.0 + B / 100}) + "\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock, 99.5))
+    bench.main()
+    lines = _metric_lines(capsys)
+    per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
+    assert isinstance(per_batch["8"], float)  # first batch ran
+    assert per_batch["1"] == "skipped: budget exhausted"
+
+
+def test_all_failed_exits_nonzero(bench, capsys, monkeypatch):
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: _R(1, "boom"))
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 1
+    lines = _metric_lines(capsys)
+    assert any("error" in l for l in lines)
