@@ -64,8 +64,12 @@ def main():
     p.add_argument("--sam-ckpt", default=None)
     p.add_argument("--clip-ckpt", default=None)
     p.add_argument("--maple-ckpt", default=None)
-    p.add_argument("--text-bank", default=None)
-    p.add_argument("--train-text-bank", default=None)
+    p.add_argument("--text-bank", default=None, help="TEST-split text bank "
+                   "(conditions BOTH validation and — reference quirk, see "
+                   "the static_bank comment — the training forward)")
+    p.add_argument("--train-text-bank", default=None, help="train-split bank; "
+                   "only shapes the initial params (the reference loads it "
+                   "but its cascade paths never consume it)")
     p.add_argument("--n-model", type=int, default=1, help="tensor-parallel axis size")
     p.add_argument(
         "--distributed", action="store_true",
@@ -254,7 +258,22 @@ def main():
         batch_shard = NamedSharding(mesh, P("data", None, None, None))
     from ..parallel import make_replicated_array
 
-    static_bank = {k: make_replicated_array(mesh, np.asarray(v)) for k, v in bank.items()}
+    # Reference-faithful quirk (found by the gradient A/B,
+    # tests/test_grad_ab.py): the reference's TRAINING forward conditions
+    # the decoder on the TEST-split class-text features — its
+    # `clip_model(image, alpha, self.training)` passes `self.training` into
+    # CustomCLIP.forward's `label` slot (signature `(image, mask,
+    # label=None, train=False)`, `models/sam_maskdecoder_edge.py:269` vs
+    # `cocotrainers/mapleAlphaCLIP.py:264`), so `train=False` — the
+    # test-branch prompts over `val_loader`'s 61 classnames
+    # (`train_ovcos_maskdecoder_edge.py:265-266`) — runs at every training
+    # step. The shipped cascade checkpoint learned under exactly this
+    # conditioning, so we replicate it: the TRAIN batch carries the
+    # test-split bank (the train-split bank still drives `train_maple`,
+    # where the dassl trainer passes train=True correctly).
+    static_bank = {
+        k: make_replicated_array(mesh, np.asarray(v)) for k, v in val_bank.items()
+    }
 
     timer = Timer()
     with mesh:
