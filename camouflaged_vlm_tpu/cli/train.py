@@ -269,11 +269,27 @@ def main():
     # (`train_ovcos_maskdecoder_edge.py:265-266`) — runs at every training
     # step. The shipped cascade checkpoint learned under exactly this
     # conditioning, so we replicate it: the TRAIN batch carries the
-    # test-split bank (the train-split bank still drives `train_maple`,
-    # where the dassl trainer passes train=True correctly).
-    static_bank = {
+    # test-split text features (the train-split bank still drives
+    # `train_maple`, where the dassl trainer passes train=True correctly).
+    #
+    # The text tower + prompt learner are FROZEN during cascade training,
+    # so the per-class text features are run constants: encode them ONCE
+    # here instead of re-running the 61-prompt text transformer inside
+    # every step (the reference re-runs it per step; hoisting is exact —
+    # gradient equality pinned in tests/test_train.py).
+    repl_bank = {
         k: make_replicated_array(mesh, np.asarray(v)) for k, v in val_bank.items()
     }
+    with mesh:
+        train_text_features = jax.jit(
+            lambda p, a, b, c, d: model.apply(
+                p, a, b, c, d, method=model.encode_class_text_features
+            )
+        )(
+            params, repl_bank["prefix"], repl_bank["suffix"],
+            repl_bank["eot_indices"], repl_bank["bank_features"],
+        )
+    static_bank = {"text_features": train_text_features}
 
     timer = Timer()
     with mesh:

@@ -191,6 +191,25 @@ class OVCOSCascade(nn.Module):
             prefix, suffix, eot_indices, bank_features
         )
 
+    def forward_with_text(self, inp, clip_image, clip_mask, text_features):
+        """Training forward with PRECOMPUTED per-class text features.
+
+        Exact under the production freeze rule: the text tower and prompt
+        learner are frozen during cascade training (the reference freezes
+        the whole CLIP, `train_ovcos_maskdecoder_edge.py:301-303` +
+        `load_mapleAlphaCLIP`), so the class-text features are constants —
+        encoding them once per run instead of once per microbatch saves the
+        61-prompt text transformer from every step (the reference re-runs
+        it every step). Gradient equality with the non-hoisted forward is
+        pinned in tests/test_train.py."""
+        features, interm = self.image_encoder(inp, interm=True)
+        image_feat, text_feat, _, _ = self.clip_model.classify(
+            clip_image, clip_mask, text_features
+        )
+        sparse = self._sparse_embeddings(image_feat, text_feat)
+        masks, edges, _ = self._decode(features, interm, sparse)
+        return masks, edges
+
     def infer_cascade_with_text(self, inp, clip_image, clip_mask, text_features):
         """Fused pipeline with precomputed per-class text features.
 

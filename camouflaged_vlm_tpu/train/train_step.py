@@ -103,16 +103,29 @@ def make_train_step(
 
     def loss_fn(trainable, frozen, batch):
         params = combine_params(trainable, frozen)
-        masks, edges = model.apply(
-            params,
-            batch["inp"],
-            batch["clip_image"],
-            batch["clip_mask"],
-            batch["prefix"],
-            batch["suffix"],
-            batch["eot_indices"],
-            batch["bank_features"],
-        )
+        if "text_features" in batch:
+            # Precomputed class-text features (exact: the text tower is
+            # frozen during cascade training — see
+            # OVCOSCascade.forward_with_text). cli/train encodes them once.
+            masks, edges = model.apply(
+                params,
+                batch["inp"],
+                batch["clip_image"],
+                batch["clip_mask"],
+                batch["text_features"],
+                method=model.forward_with_text,
+            )
+        else:
+            masks, edges = model.apply(
+                params,
+                batch["inp"],
+                batch["clip_image"],
+                batch["clip_mask"],
+                batch["prefix"],
+                batch["suffix"],
+                batch["eot_indices"],
+                batch["bank_features"],
+            )
         total, parts = segmentation_loss(masks, edges, batch["gt"], loss_mode)
         return total, parts
 

@@ -41,7 +41,13 @@ def main():
         decoder=base.decoder, clip=base.clip,
     )
     model = OVCOSCascade(cfg)
-    bank = make_bank_inputs(cfg, ["cat", "owl", "snow leopard", "scorpionfish"])
+    from camouflaged_vlm_tpu.data.ovcamo import TEST_CLASS_NAMES
+
+    n_cls = int(_os.environ.get("TRAIN_CLASSES", "4"))
+    bank = make_bank_inputs(
+        cfg, (TEST_CLASS_NAMES * 2)[:n_cls] if n_cls > 4
+        else ["cat", "owl", "snow leopard", "scorpionfish"][:n_cls]
+    )
     params = init_cascade_params(model, cfg, bank, batch=1)
 
     accum = int(_os.environ.get("TRAIN_ACCUM", "1"))
@@ -63,6 +69,19 @@ def main():
         "eot_indices": jnp.asarray(bank["eot_indices"]),
         "bank_features": jnp.asarray(bank["bank_features"]),
     }
+    # TRAIN_TEXT=hoist: precomputed class-text features in the batch
+    # (cli/train's production mode since the conditioning-quirk fix feeds
+    # the 61-class TEST bank; the frozen text tower makes the hoist exact)
+    if _os.environ.get("TRAIN_TEXT", "bank") == "hoist":
+        tf = jax.jit(
+            lambda p, a, b_, c, d: model.apply(
+                p, a, b_, c, d, method=model.encode_class_text_features
+            )
+        )(params, batch["prefix"], batch["suffix"], batch["eot_indices"],
+          batch["bank_features"])
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("prefix", "suffix", "eot_indices", "bank_features")}
+        batch["text_features"] = tf
     if accum > 1:
         for k in ("inp", "gt", "clip_image", "clip_mask"):
             x = batch[k]

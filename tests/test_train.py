@@ -121,6 +121,57 @@ def _make_batch(cfg, bank, rng, B=2):
     }
 
 
+def test_hoisted_text_features_grads_match_bank_path(tiny_train_setup, rng):
+    """`batch["text_features"]` (cli/train's once-per-run text encode) must
+    give the same LOSS and GRADIENTS as the in-step prompt-bank path — the
+    text tower is frozen, so hoisting it is semantics-free
+    (cascade.forward_with_text). Gradients are compared (not post-AdamW
+    updates: Adam normalises by |g|, so fp32 reassociation noise between
+    the two compiled programs would blow up to full-scale update diffs on
+    near-zero-gradient entries)."""
+    from camouflaged_vlm_tpu.train.train_step import (
+        combine_params, partition_params,
+    )
+    from camouflaged_vlm_tpu.train.losses import segmentation_loss
+
+    cfg, model, bank, params = tiny_train_setup
+    batch = _make_batch(cfg, bank, rng)
+    trainable, frozen = partition_params(params)
+
+    text_features = model.apply(
+        params, bank["prefix"], bank["suffix"], bank["eot_indices"],
+        bank["bank_features"], method=model.encode_class_text_features,
+    )
+
+    def loss_bank(t):
+        masks, edges = model.apply(
+            combine_params(t, frozen), batch["inp"], batch["clip_image"],
+            batch["clip_mask"], bank["prefix"], bank["suffix"],
+            bank["eot_indices"], bank["bank_features"],
+        )
+        return segmentation_loss(masks, edges, batch["gt"], "iou")[0]
+
+    def loss_hoist(t):
+        masks, edges = model.apply(
+            combine_params(t, frozen), batch["inp"], batch["clip_image"],
+            batch["clip_mask"], text_features, method=model.forward_with_text,
+        )
+        return segmentation_loss(masks, edges, batch["gt"], "iou")[0]
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_bank))(trainable)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_hoist))(trainable)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+    def cmp(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        # floor 1e-8 absorbs pure-noise leaves (e.g. the iou head's, whose
+        # gradient only exists through weak decoder coupling and sits at
+        # ~1e-9 — different compiled programs round it differently)
+        np.testing.assert_allclose(a, b, atol=1e-5 * np.abs(a).max() + 1e-8)
+
+    jax.tree.map(cmp, g1, g2)
+
+
 def test_train_step_updates_only_trainable(tiny_train_setup, rng):
     cfg, model, bank, params = tiny_train_setup
     tx = make_optimizer(params)
