@@ -40,10 +40,11 @@ def evaluate(
     batch_size: int = 4, save_img_path: str | None = None, num_workers: int = 8,
     mesh=None, oracle_cls: bool = False, mask_dtype: str = "float16",
 ):
-    """Run the full OVCOS eval. With `mesh` (a jax Mesh with a 'data' axis),
-    each batch is sharded over the axis and params are replicated — the
-    compiled program runs data-parallel across chips (the reference is
-    single-GPU batch-1, `test_ovcos_maskdecoder_edge.py:175-178`).
+    """Run the full OVCOS eval. With `mesh` (a jax Mesh with 'data' and
+    'model' axes), each batch is sharded over `data` and params by the
+    Megatron partition rules (replication when the model axis is 1) — the
+    compiled program runs data- and/or tensor-parallel across chips (the
+    reference is single-GPU batch-1, `test_ovcos_maskdecoder_edge.py:175-178`).
     batch_size must be divisible by the data-axis size.
 
     `oracle_cls=True` scores the class-aware metrics with the GROUND-TRUTH
