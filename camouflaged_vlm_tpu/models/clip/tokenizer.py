@@ -70,16 +70,60 @@ except ImportError:
     )
 
 
+@functools.lru_cache()
+def _cp1252_reverse() -> Dict[str, int]:
+    """Chars that windows-1252 places in the 0x80-0x9F C1 range -> byte."""
+    table: Dict[str, int] = {}
+    for b in range(0x80, 0xA0):
+        try:
+            table[bytes([b]).decode("cp1252")] = b
+        except UnicodeDecodeError:
+            pass  # 0x81/0x8D/0x8F/0x90/0x9D are undefined in cp1252
+    return table
+
+
+def _fix_mojibake(text: str) -> str:
+    """Repair UTF-8 text that was mis-decoded as latin-1/windows-1252.
+
+    The core of ftfy.fix_text's encoding repair (the reference cleans with
+    ftfy, `alpha_clip_rw/simple_tokenizer.py:50-53`): if every char fits a
+    windows-1252 byte and those bytes form valid multi-byte UTF-8, the text
+    is the classic mojibake signature ("Ã©" -> "é", "â€™" -> "’") and is
+    re-decoded; iterated twice for doubly-corrupted input. Legitimate
+    accented text ("café") does NOT form valid UTF-8 byte sequences and
+    passes through untouched, as does anything containing chars outside
+    latin-1/cp1252 (ftfy segments mixed text; prompts here are whole-string).
+    """
+    rev = _cp1252_reverse()
+    for _ in range(2):
+        if all(ord(c) < 0x80 for c in text):
+            break
+        buf = bytearray()
+        for c in text:
+            b = rev.get(c, ord(c))
+            if b > 0xFF:
+                return text  # non-latin char: not mojibake, leave alone
+            buf.append(b)
+        try:
+            fixed = bytes(buf).decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if fixed == text:
+            break
+        text = fixed
+    return text
+
+
 def _clean(text: str) -> str:
     # The reference cleans with ftfy.fix_text + double html.unescape
-    # (`alpha_clip_rw/simple_tokenizer.py:50-58`). For well-formed input
-    # ftfy's lasting effect is NFC normalisation (it composes combining
-    # marks before byte-level BPE, so "café" tokenizes the same whether the
-    # accent arrives precomposed or combining); mojibake *repair* — fixing
-    # already-corrupted double-encoded text — is out of scope for class
-    # names and prompts, which this framework treats as authoritative.
-    text = unicodedata.normalize("NFC", text)
+    # (`alpha_clip_rw/simple_tokenizer.py:50-58`). ftfy's lasting effects in
+    # order: mojibake repair (_fix_mojibake above), entity unescape, NFC
+    # composition — so NFC runs AFTER the unescapes here, composing marks
+    # that arrive as html entities ("cafe&#769;") the same as precomposed
+    # "café" before byte-level BPE.
+    text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
+    text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text.strip())
     return text.strip().lower()
 

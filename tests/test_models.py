@@ -149,6 +149,37 @@ def test_tokenizer_non_ascii_normalisation():
     literal = tokenize("black & white cat")[0]
     np.testing.assert_array_equal(entity, literal)
 
+    # NFC must run AFTER entity unescape: a combining mark arriving as an
+    # html entity composes before BPE (ftfy unescapes, then NFC-composes).
+    entity_accent = tokenize("a photo of a cafe&#769;.")[0]
+    np.testing.assert_array_equal(entity_accent, tokenize("a photo of a café.")[0])
+
+
+def test_tokenizer_mojibake_repair():
+    """ftfy's encoding repair (`alpha_clip_rw/simple_tokenizer.py:50-53`):
+    UTF-8 read as latin-1/windows-1252 is re-decoded, so a mojibake prompt
+    tokenizes like the intended text; legitimate accents and non-latin text
+    pass through untouched."""
+    # "café" mis-decoded as latin-1 -> "cafÃ©"
+    np.testing.assert_array_equal(
+        tokenize("a photo of a cafÃ©.")[0], tokenize("a photo of a café.")[0]
+    )
+    # windows-1252 C1-range mojibake: "’" (U+2019) -> "â€™"
+    np.testing.assert_array_equal(
+        tokenize("the catâ€™s paw")[0], tokenize("the cat’s paw")[0]
+    )
+    # doubly-encoded mojibake repairs through two passes
+    double = "café".encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    np.testing.assert_array_equal(
+        tokenize(f"a {double} cat")[0], tokenize("a café cat")[0]
+    )
+    # legitimate accented text is NOT valid UTF-8 as latin-1 bytes: unchanged
+    plain = tokenize("déjà vu")[0]
+    assert plain.argmax() > 2  # tokenized normally, non-trivially
+    # chars outside latin-1 abort the repair and tokenize as themselves
+    cjk = tokenize("日本")[0]
+    assert cjk.argmax() > 2
+
 
 def test_clip_prompt_bank_structure():
     cfg = AlphaClipConfig.tiny()
