@@ -16,14 +16,24 @@ sweep produced NOTHING inside the driver's budget — BENCH_r03.json rc=124,
 empty tail — because each batch pays a 15-20+ min remote compile that the
 persistent cache cannot amortise over this tunnel):
 
-  * batches run best-known-cheapest-first ({8, 32, 64, 1}: b8 compiles the
-    cheapest of the >=20-img/s points, b32 is the measured throughput peak);
+  * sweep order {8, 1, 32} (round-5): b8 first — the cheapest-compiling
+    >=20-img/s point, a valid headline at ~minute 9; then b1 — the
+    reference's canonical single-image demo workload (`demo.py:70-131`),
+    which two rounds of {.., 64, 1} ordering left without an official
+    record (b64 measured strictly below b32 two rounds running and is
+    dropped); b32 last — it historically beats b8 by only ~0.1 img/s and
+    gets whatever budget remains;
   * the headline JSON line is printed + flushed THE MOMENT the first batch
     lands, and re-printed after every batch that improves it — a driver
-    kill mid-sweep still leaves a valid headline in the tail;
+    kill mid-sweep still leaves a valid headline in the tail; every
+    per-batch result ALSO streams as its own {"per_batch_update": ...}
+    line the moment it resolves (success or failure), so diagnostics
+    survive a kill even in the all-batches-fail regime;
   * a total wall-clock budget (env BENCH_BUDGET_S, default 22 min) bounds
-    the sweep: each subprocess gets at most the remaining budget as its
-    timeout, and batches that no longer fit are skipped, not attempted;
+    the sweep: the FIRST batch is capped 60 s under the whole budget (the
+    process must outlive its own subprocess to report), later batches get
+    the remaining budget, and batches that no longer fit are skipped, not
+    attempted;
   * the headline line is also printed LAST (after the per-batch summary) so
     a driver that parses the final JSON line records the metric, not the
     sweep detail.
@@ -42,10 +52,11 @@ import subprocess
 import sys
 import time
 
-SWEEP = [8, 32, 64, 1]
+SWEEP = [8, 1, 32]
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 22 * 60))
 PER_BATCH_TIMEOUT_S = 35 * 60
 MIN_BATCH_S = 180.0  # don't bother launching a batch with less than this left
+HEADROOM_S = 60.0  # first batch ends early enough for this process to report
 V5E_BF16_PEAK_TFLOPS = 197.0  # PERF.md chip calibration; xprof-confirmed
 
 
@@ -56,6 +67,14 @@ def cascade_flops_per_image() -> float:
     passes; the class-text encoding is hoisted out of the loop exactly as a
     deployment would). Elementwise/norm/softmax/resize work is excluded —
     it is bandwidth, not FLOPs. Itemised so the judge can audit each term.
+
+    Convention note (ADVICE r4): the EVP high-pass term counts the dense
+    circulant matmuls the program actually EXECUTES on the MXU (that is the
+    implementation — jnp.fft was replaced by circulant matmuls in round 1,
+    155 -> 34 ms; PERF.md ladder), ~8.6 GFLOP/image. An FFT implementation
+    would count ~0.4 GFLOP (O(N log N), 4 transforms); using that
+    convention instead would lower the reported model FLOPs — and thus
+    achieved_tflops/mfu — by ~0.13%.
     """
     # --- SAM ViT-H encoder @1024px: S=4096 tokens, D=1280, 32 blocks ---
     S, D, depth, heads = 64 * 64, 1280, 32, 16
@@ -188,13 +207,28 @@ def main():
     t_start = time.monotonic()
     best_ips, best_b, per_batch = 0.0, 0, {}
 
+    def record(B, value) -> None:
+        # Stream each per-batch outcome the moment it resolves: a driver
+        # kill mid-sweep keeps the diagnostics even when no batch succeeded.
+        per_batch[B] = value
+        print(json.dumps({"per_batch_update": {B: value}}), flush=True)
+
     def run_batch(B) -> None:
         nonlocal best_ips, best_b
         remaining = BUDGET_S - (time.monotonic() - t_start)
         if best_b and remaining < MIN_BATCH_S:
-            per_batch.setdefault(B, "skipped: budget exhausted")
+            if B not in per_batch:
+                record(B, "skipped: budget exhausted")
             return
-        timeout = min(PER_BATCH_TIMEOUT_S, max(remaining, MIN_BATCH_S))
+        if best_b:
+            timeout = min(PER_BATCH_TIMEOUT_S, max(remaining, MIN_BATCH_S))
+        else:
+            # No headline yet (first batch, or everything failed so far):
+            # leave HEADROOM_S so this process outlives the subprocess and
+            # the per-batch record reaches stdout before any driver kill.
+            timeout = min(
+                PER_BATCH_TIMEOUT_S, max(remaining - HEADROOM_S, MIN_BATCH_S)
+            )
         cmd = [
             sys.executable, __file__, "--batch", str(B),
             "--iters", str(args.iters), "--warmup", str(args.warmup),
@@ -209,17 +243,19 @@ def main():
             )
             if r.returncode != 0 or line is None:
                 tail = (r.stderr or r.stdout or "")[-200:].replace("\n", " ")
-                per_batch[B] = f"failed: rc={r.returncode}: {tail}"
+                record(B, f"failed: rc={r.returncode}: {tail}")
                 return
             ips = json.loads(line)["value"]
-            per_batch[B] = ips
             if ips > best_ips:
                 best_ips, best_b = ips, B
-                # Stream the best-so-far headline NOW: a kill later in the
-                # sweep must still leave a parseable record in the tail.
+                # Stream the best-so-far headline NOW (before the per-batch
+                # detail line — round-3's property that the first printed
+                # line is already a parseable headline): a kill later in
+                # the sweep must still leave a valid headline in the tail.
                 headline(best_ips, best_b, args.dtype)
+            record(B, ips)
         except subprocess.TimeoutExpired:
-            per_batch[B] = f"failed: exceeded {timeout:.0f}s"
+            record(B, f"failed: exceeded {timeout:.0f}s")
 
     for B in SWEEP:
         run_batch(B)

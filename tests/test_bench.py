@@ -66,19 +66,19 @@ def test_transient_failure_retried_timeout_not(bench, capsys, monkeypatch):
         calls.append(B)
         if B == 32 and calls.count(32) == 1:
             return _R(1, "transfer closed")  # transient: retried
-        if B == 64:
+        if B == 1:
             raise subprocess.TimeoutExpired(cmd, timeout)  # not retried
-        val = {8: 20.7, 32: 20.8, 1: 17.0}[B]
+        val = {8: 20.7, 32: 20.8}[B]
         return _R(0, json.dumps({"metric": "x", "value": val}) + "\n")
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     bench.main()
-    assert calls.count(32) == 2 and calls.count(64) == 1
+    assert calls.count(32) == 2 and calls.count(1) == 1
     lines = _metric_lines(capsys)
     assert lines[-1]["value"] == 20.8  # retry recovered the best batch
     per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
     assert per_batch["32"] == 20.8
-    assert str(per_batch["64"]).startswith("failed: exceeded")
+    assert str(per_batch["1"]).startswith("failed: exceeded")
 
 
 def test_budget_exhaustion_skips_later_batches(bench, capsys, monkeypatch):
@@ -96,6 +96,31 @@ def test_budget_exhaustion_skips_later_batches(bench, capsys, monkeypatch):
     per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
     assert isinstance(per_batch["8"], float)  # first batch ran
     assert per_batch["1"] == "skipped: budget exhausted"
+
+
+def test_b1_in_sweep_and_per_batch_streams(bench, capsys, monkeypatch):
+    """Round-5: b1 has a guaranteed sweep slot (VERDICT r4 missing #2), and
+    every per-batch outcome streams as its own line the moment it resolves
+    (ADVICE r4: diagnostics must survive a driver kill even when no batch
+    succeeds)."""
+    timeouts = []
+
+    def fake_run(cmd, capture_output, text, timeout):
+        B = int(cmd[cmd.index("--batch") + 1])
+        timeouts.append((B, timeout))
+        return _R(0, json.dumps({"metric": "x", "value": {8: 20.7, 1: 17.0, 32: 20.8}[B]}) + "\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.main()
+    assert [b for b, _ in timeouts] == [8, 1, 32]
+    # the first batch's timeout leaves HEADROOM_S of the budget for this
+    # process to report before a driver kill
+    assert timeouts[0][1] <= bench.BUDGET_S - bench.HEADROOM_S
+    lines = _metric_lines(capsys)
+    updates = [l["per_batch_update"] for l in lines if "per_batch_update" in l]
+    assert [list(u) for u in updates] == [["8"], ["1"], ["32"]]
+    per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
+    assert per_batch["1"] == 17.0
 
 
 def test_all_failed_exits_nonzero(bench, capsys, monkeypatch):
