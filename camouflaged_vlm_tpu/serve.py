@@ -78,6 +78,12 @@ class ServeConfig:
         ship batch k+1 while batch k's results are still downloading — the
         completion thread below fetches in order. >1 overlaps host<->device
         transfer with compute; the bound caps device-side input buffers.
+    return_mask: compile the mask output out of the program entirely when
+        False. Classification-only deployments (predict_* want_mask=False
+        clients) then skip the mask's device->host transfer — the largest
+        response tensor (1024^2 * 2 B/image fp16) — not just its host-side
+        resize; futures resolve to (None, class_id, logits). Also the
+        engine-only benchmark's tunnel-independent mode (`bench_engine`).
     """
 
     # Defaults derived from the round-3/4 bench sweep (PERF.md): throughput
@@ -93,6 +99,7 @@ class ServeConfig:
     queue_capacity: int = 256
     mask_dtype: str = "float16"
     max_inflight: int = 2
+    return_mask: bool = True
 
     def __post_init__(self):
         assert self.buckets == tuple(sorted(self.buckets)) and self.buckets, (
@@ -188,6 +195,11 @@ class InferenceEngine:
                 params, inp, cimg, cmask, text_features,
                 method=model.infer_cascade_with_text,
             )
+            if not serve_cfg.return_mask:
+                # classification-only program: the mask (the dominant
+                # response tensor) never leaves the device — XLA DCEs any
+                # mask-only tail work too
+                return pred, score
             # fp16 halves device->host mask traffic vs f32 (~3e-4 resolution,
             # far below any threshold's quantisation); uint8 halves it again
             # for image-output consumers.
@@ -331,6 +343,11 @@ class InferenceEngine:
         }
         if not want_mask:
             return out
+        if probs is None:
+            raise RuntimeError(
+                "mask requested but the engine was built with "
+                "return_mask=False (classification-only program)"
+            )
         probs = np.asarray(probs)
         # round (not truncate) so float16 transfer quantises to the SAME
         # uint8 mask as the mask_dtype="uint8" in-graph path (jnp.round)
@@ -447,10 +464,15 @@ class InferenceEngine:
             item = self._inflight.get()
             if item is _SENTINEL:
                 return
-            batch, bucket, (probs, pred, score) = item
+            batch, bucket, outs = item
             try:
                 # the device->host sync point: one fetch per batch
-                probs = np.asarray(probs)[..., 0]
+                if len(outs) == 2:  # return_mask=False program
+                    probs = None
+                    pred, score = outs
+                else:
+                    probs, pred, score = outs
+                    probs = np.asarray(probs)[..., 0]
                 pred = np.asarray(pred)
                 score = np.asarray(score, np.float32)
             except Exception as e:  # device-side failure surfaces at fetch
@@ -475,4 +497,83 @@ class InferenceEngine:
                     bl["sum"] += lat
                     bl["max"] = max(bl["max"], lat)
             for i, r in enumerate(batch):
-                r.future.set_result((probs[i], int(pred[i]), score[i]))
+                r.future.set_result(
+                    (None if probs is None else probs[i], int(pred[i]), score[i])
+                )
+
+
+def bench_engine(
+    engine: InferenceEngine,
+    n_images: int = 128,
+    stage_inputs: bool = True,
+    pool: int = 4,
+    seed: int = 0,
+) -> Dict:
+    """In-process engine benchmark: the serving ceiling WITHOUT the network.
+
+    Every serving number before round 5 rode the dev tunnel (loaded
+    throughput swung 1.74 -> 5.57 -> 7.41 img/s across identical code purely
+    on tunnel weather — PERF.md latency table), so the claim "the engine is
+    compute-bound on a locally-attached chip" was inferred from bench.py,
+    never measured. This drives the REAL batcher/worker/completer machinery
+    (submit -> coalesce -> pad-to-bucket -> async dispatch -> pipelined
+    fetch) with pre-resized uint8 inputs — no HTTP, no JPEG decode, no
+    per-request preprocessing — and, with `stage_inputs=True`, a shape-keyed
+    device cache behind `_put` so each bucket's input tensor is uploaded
+    ONCE and every later batch reuses the device-resident buffer (batches
+    then recompute identical data, exactly like bench.py's steady-state
+    loop). Combined with a `return_mask=False` engine, the only per-batch
+    tunnel traffic is the class ids/logits — engine orchestration + compute
+    is what remains on the clock.
+
+    Call `engine.warmup()` first; compile time is not part of the
+    measurement. Returns {images_per_sec, elapsed_s, n_images, staged,
+    bucket_latency_ms, batch_size_hist, pad_fraction}.
+    """
+    cfg = engine.cfg
+    rng = np.random.default_rng(seed)
+    inps = [
+        rng.integers(0, 256, (cfg.inp_size, cfg.inp_size, 3), dtype=np.uint8)
+        for _ in range(pool)
+    ]
+    cimgs = [
+        rng.integers(0, 256, (cfg.clip_size, cfg.clip_size, 3), dtype=np.uint8)
+        for _ in range(pool)
+    ]
+
+    orig_put = engine._put
+    if stage_inputs:
+        staged: Dict = {}
+
+        def _staged_put(a):
+            key = (a.shape, str(a.dtype))
+            if key not in staged:
+                d = orig_put(a)
+                d = jax.block_until_ready(jnp.asarray(d))
+                staged[key] = d
+            return staged[key]
+
+        engine._put = _staged_put
+    try:
+        t0 = time.monotonic()
+        futures = [
+            engine.submit(inps[i % pool], cimgs[i % pool])
+            for i in range(n_images)
+        ]
+        for f in futures:
+            f.result(timeout=600)
+        elapsed = time.monotonic() - t0
+    finally:
+        engine._put = orig_put
+
+    stats = engine.stats()
+    return {
+        "images_per_sec": n_images / elapsed,
+        "elapsed_s": elapsed,
+        "n_images": n_images,
+        "staged": stage_inputs,
+        "return_mask": engine.serve_cfg.return_mask,
+        "bucket_latency_ms": stats["bucket_latency_ms"],
+        "batch_size_hist": stats["batch_size_hist"],
+        "pad_fraction": stats["pad_fraction"],
+    }

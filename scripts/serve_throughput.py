@@ -48,6 +48,19 @@ def main():
         "path (decode + resizes + mask-back-resize), not just the engine; "
         "toggle the native fast path with CVLM_NATIVE_PREPROC=0/1",
     )
+    p.add_argument(
+        "--engine-only", action="store_true",
+        help="tunnel-independent engine ceiling (VERDICT r4 #4): drive the "
+        "batcher/completer via serve.bench_engine with a shape-keyed device "
+        "input cache (each bucket uploads once) and a return_mask=False "
+        "program, so per-batch link traffic is just class ids/logits — "
+        "what remains is engine orchestration + compute",
+    )
+    p.add_argument(
+        "--engine-mask", action="store_true",
+        help="with --engine-only: keep the mask output in the program (its "
+        "device->host fetch then rides the link and is on the clock)",
+    )
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -69,8 +82,24 @@ def main():
             buckets=buckets,
             max_delay_ms=args.max_delay_ms,
             mask_dtype=args.mask_dtype,
+            return_mask=args.engine_mask or not args.engine_only,
         ),
     )
+
+    if args.engine_only:
+        from camouflaged_vlm_tpu.serve import bench_engine
+
+        t0 = time.perf_counter()
+        eng.warmup()
+        print(f"[engine-only] warmup (compile) {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        # short un-timed lead-in so the pipeline (inflight=2) is primed
+        bench_engine(eng, n_images=2 * buckets[-1], stage_inputs=True)
+        rep = bench_engine(eng, n_images=args.requests, stage_inputs=True)
+        rep["buckets"] = list(buckets)
+        print(json.dumps({"serve_engine_only": rep}, default=float), flush=True)
+        eng.close()
+        return
 
     rng = np.random.default_rng(0)
     if args.bytes:
