@@ -6,6 +6,19 @@ bank (`/root/reference/models/sam_maskdecoder_edge.py:177-182`). Verifies
 the production load path (`cli/common.load_torch_state_dict_as_array` ->
 `assemble_cascade(text_bank_path=...)`) against the real files, then runs a
 full cascade inference batch conditioned on the real 61-class test bank.
+
+Regeneration parity (SURVEY §7.7 exit: `cli/precompute_text_bank.py`
+reproduces these shipped 14x768/61x768 tensors from the prompt chain,
+`/root/reference/cocotrainers/alphaCLIP.py:148-163`) is ENVIRONMENT-BLOCKED:
+regeneration needs the real CLIP ViT-L/14-336 text-tower weights, which are
+not in this image (zero egress; upstream blobs stripped). What is testable
+without them is tested: the prompt/ensembling chain itself
+(tests/test_text_bank.py pins camoprompts/imagenet80/attributes/CuPL
+composition + pairwise ensembling on synthetic weights) and this file's
+real-tensor ingestion. Repro on a machine with ViT-L-14-336px.pt:
+  python -m camouflaged_vlm_tpu.cli.precompute_text_bank \\
+      --clip-ckpt ViT-L-14-336px.pt --split test --out bank.npy
+  # then compare np.load("bank.npy") with this file's TEST_BANK tensor.
 """
 
 import dataclasses
