@@ -216,12 +216,16 @@ def main():
     def run_batch(B) -> None:
         nonlocal best_ips, best_b
         remaining = BUDGET_S - (time.monotonic() - t_start)
-        if best_b and remaining < MIN_BATCH_S:
+        if remaining < MIN_BATCH_S:
+            # under MIN_BATCH_S nothing can finish its remote compile —
+            # skip EVEN when no batch has succeeded yet (a doomed attempt
+            # would push the process past the budget; the streamed
+            # per-batch lines already carry the earlier diagnostics)
             if B not in per_batch:
                 record(B, "skipped: budget exhausted")
             return
         if best_b:
-            timeout = min(PER_BATCH_TIMEOUT_S, max(remaining, MIN_BATCH_S))
+            timeout = min(PER_BATCH_TIMEOUT_S, remaining)
         else:
             # No headline yet (first batch, or everything failed so far):
             # leave HEADROOM_S so this process outlives the subprocess and

@@ -82,20 +82,47 @@ def test_transient_failure_retried_timeout_not(bench, capsys, monkeypatch):
 
 
 def test_budget_exhaustion_skips_later_batches(bench, capsys, monkeypatch):
-    monkeypatch.setattr(bench, "BUDGET_S", 100.0)
-    clock = iter([0.0, 0.0, 99.5, 99.5, 99.5, 99.5, 99.5, 99.5, 99.5, 99.5])
+    monkeypatch.setattr(bench, "BUDGET_S", 1000.0)
+    clock = iter([0.0, 0.0])  # t_start, then batch-8's remaining check
 
     def fake_run(cmd, capture_output, text, timeout):
         B = int(cmd[cmd.index("--batch") + 1])
         return _R(0, json.dumps({"metric": "x", "value": 20.0 + B / 100}) + "\n")
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock, 99.5))
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock, 999.5))
     bench.main()
     lines = _metric_lines(capsys)
     per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
     assert isinstance(per_batch["8"], float)  # first batch ran
     assert per_batch["1"] == "skipped: budget exhausted"
+
+
+def test_under_min_budget_skips_even_without_headline(bench, capsys, monkeypatch):
+    """ADVICE r4: in the all-batches-fail regime the old guard still gave
+    every later batch a MIN_BATCH_S attempt (which cannot cover a remote
+    compile), overshooting the budget by ~10 min. Under MIN_BATCH_S the
+    sweep must skip, headline or not."""
+    monkeypatch.setattr(bench, "BUDGET_S", 1000.0)
+    calls = []
+    # t_start=0; batch 8 checks remaining at t=0 (runs, fails); batches 1
+    # and 32 check at t=900 (remaining 100 < MIN_BATCH_S -> skip)
+    clock = iter([0.0, 0.0])
+
+    def fake_run(cmd, capture_output, text, timeout):
+        calls.append(int(cmd[cmd.index("--batch") + 1]))
+        return _R(1, "boom")
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(clock, 900.0))
+    with pytest.raises(SystemExit):
+        bench.main()
+    assert calls == [8]  # later batches never attempted
+    lines = _metric_lines(capsys)
+    per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
+    assert str(per_batch["8"]).startswith("failed: rc=")
+    assert per_batch["1"] == "skipped: budget exhausted"
+    assert per_batch["32"] == "skipped: budget exhausted"
 
 
 def test_b1_in_sweep_and_per_batch_streams(bench, capsys, monkeypatch):
