@@ -104,6 +104,17 @@ def main():
         "table; 2x4 needs a >=24 GB chip).",
     )
     p.add_argument(
+        "--fused-optimizer", choices=["auto", "on", "off"], default="auto",
+        help="ravel the trainable subtree into ONE vector around the AdamW "
+        "update (optax.flatten): collapses hundreds of small per-leaf "
+        "update chains into one fused elementwise program (bitwise-equal "
+        "updates — AdamW is elementwise). 'auto' enables it when the mesh "
+        "has no model axis (tensor-parallel params keep per-leaf sharding, "
+        "which a raveled vector cannot represent). NOTE: changes the orbax "
+        "opt_state structure — resuming a pre-round-5 checkpoint needs "
+        "'off'.",
+    )
+    p.add_argument(
         "--stop-after-epoch", type=int, default=None,
         help="fault injection: exit cleanly after this epoch's checkpoint "
         "(simulates a kill for resume testing)",
@@ -209,6 +220,12 @@ def main():
         steps_per_epoch=steps_per_epoch,
         eta_min=args.eta_min,
     )
+    if args.fused_optimizer == "on" or (
+        args.fused_optimizer == "auto" and args.n_model == 1
+    ):
+        import optax
+
+        tx = optax.flatten(tx)
     state = create_train_state(params, tx)
 
     start_epoch, best_mae = 1, float("inf")

@@ -53,6 +53,14 @@ def main():
     accum = int(_os.environ.get("TRAIN_ACCUM", "1"))
     assert B % max(accum, 1) == 0, (B, accum)
     tx = make_optimizer(params)
+    # TRAIN_OPT=flat: ravel the trainable subtree into ONE vector around the
+    # AdamW update (optax.flatten) — the round-4 trace attributed ~14 ms of
+    # the accum-4x2 step to optimizer/dispatch across hundreds of small
+    # per-leaf update chains; one fused vector update collapses them.
+    if _os.environ.get("TRAIN_OPT", "tree") == "flat":
+        import optax
+
+        tx = optax.flatten(tx)
     state = create_train_state(params, tx)
     step = jax.jit(
         make_train_step(model, tx, accum_steps=accum), donate_argnums=(0,)

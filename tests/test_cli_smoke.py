@@ -94,6 +94,7 @@ def test_demo_cli_smoke(monkeypatch, demo_image, tmp_path):
     assert mask.shape == (97, 131)
 
 
+@pytest.mark.slow  # ~1 min; the maple trainer math stays fast via test_train.py
 def test_train_maple_cli_smoke(monkeypatch, maple_dataset, tmp_path):
     from camouflaged_vlm_tpu.cli import train_maple as maple_cli
 
@@ -113,6 +114,7 @@ def test_train_maple_cli_smoke(monkeypatch, maple_dataset, tmp_path):
     assert all("prompt_learner" in k for k in npz.files), npz.files
 
 
+@pytest.mark.slow  # ~80s; diagnostics CLI — demo/eval/train smokes stay fast
 def test_profile_cli_smoke(monkeypatch, capsys):
     """cli/profile.py wiring: tiny config, stages + end-to-end timing on CPU
     (the only CLI no other test drives)."""

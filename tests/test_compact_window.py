@@ -119,6 +119,7 @@ def test_compact_encoder_matches_reference_impl(img):
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-4)
 
 
+@pytest.mark.slow  # ~35s; kernel backward equality stays fast in test_attention_impls
 def test_compact_encoder_grads_flow():
     """The trainable prompt generator must receive gradients through the
     compact path (custom-VJP kernels included)."""

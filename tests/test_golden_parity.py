@@ -281,6 +281,7 @@ def _our_clip_cfg():
     return AlphaClipConfig(**CLIP_TINY)
 
 
+@pytest.mark.slow  # ~45s; per-submodule CLIP goldens stay fast
 def test_custom_clip_golden_parity(rng):
     import jax
 
@@ -332,6 +333,7 @@ def test_custom_clip_golden_parity(rng):
 
 # ---------------------------------------------------------------- cascade
 
+@pytest.mark.slow  # ~85s full-cascade golden; module goldens + eval A/B cover it
 def test_cascade_infer_test_golden_parity(rng):
     """The reference's whole `infer_test` (stage 1) vs our fused stage-1."""
     import jax

@@ -435,6 +435,7 @@ def test_bench_engine_staged_classification_only(engine_parts, rng):
         eng.close()
 
 
+@pytest.mark.slow  # upload-path variant; the staged bench test stays fast
 def test_bench_engine_unstaged_masked(engine_parts, rng):
     """bench_engine's pre-staged-host mode (stage_inputs=False) exercises
     the full upload path with the default masked program."""

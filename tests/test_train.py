@@ -121,6 +121,7 @@ def _make_batch(cfg, bank, rng, B=2):
     }
 
 
+@pytest.mark.slow  # ~55s grad equality; the hoist is also pinned by test_grad_ab
 def test_hoisted_text_features_grads_match_bank_path(tiny_train_setup, rng):
     """`batch["text_features"]` (cli/train's once-per-run text encode) must
     give the same LOSS and GRADIENTS as the in-step prompt-bank path — the
@@ -287,6 +288,7 @@ def test_maple_train_step_updates_only_prompt_learner(tiny_train_setup, rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # ~1 min equality (dp-mesh variant below is slow too)
 def test_grad_accum_matches_full_batch(tiny_train_setup, rng):
     """accum_steps=2 over a batch of 4 must produce the same update as one
     full-batch step: iou/bce losses are per-image means, so the microbatch
@@ -416,3 +418,44 @@ def test_maple_schedule_matches_dassl_semantics():
     for e in range(warm, total):
         want = 0.5 * base * (1 + math.cos(math.pi * (e - warm) / total))
         assert abs(vals[e] - want) < 1e-9, (e, vals[e], want)
+
+
+def test_fused_optimizer_updates_bitwise_equal(tiny_train_setup, rng):
+    """`optax.flatten(adamw)` — cli/train's --fused-optimizer (the round-5
+    train-glue attack: one raveled vector update instead of hundreds of
+    per-leaf chains) — must produce BITWISE-identical updates: AdamW is
+    purely elementwise, so raveling changes the program count, not the
+    math. Updates are compared under identical input gradients across 3
+    chained steps (not through a model forward, where fusion differences
+    between the two compiled programs could reassociate grads and Adam
+    would amplify near-zero-grad noise to full update scale — see
+    test_hoisted_text_features_grads_match_bank_path)."""
+    import optax
+
+    from camouflaged_vlm_tpu.train.train_step import partition_params
+
+    cfg, model, bank, params = tiny_train_setup
+    trainable, _ = partition_params(params)
+    tx_tree = make_optimizer(params)
+    tx_flat = optax.flatten(make_optimizer(params))
+
+    s_tree = tx_tree.init(trainable)
+    s_flat = tx_flat.init(trainable)
+    p_tree = trainable
+    p_flat = trainable
+    for step_i in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape) * 1e-3, p.dtype
+            ),
+            p_tree,
+        )
+        u_tree, s_tree = jax.jit(tx_tree.update)(grads, s_tree, p_tree)
+        u_flat, s_flat = jax.jit(tx_flat.update)(grads, s_flat, p_flat)
+        p_tree = optax.apply_updates(p_tree, u_tree)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+        for k in p_tree:
+            np.testing.assert_array_equal(
+                np.asarray(p_tree[k]), np.asarray(p_flat[k]),
+                err_msg=f"step {step_i}, leaf {k}",
+            )
