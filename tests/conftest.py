@@ -25,3 +25,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_cascade_2class():
+    """Shared tiny cascade (cfg, model, bank, params) for test_train and
+    test_convert, which built IDENTICAL fixtures independently (~40 s of
+    init each on this host). Session-scoped is safe: params are immutable
+    jax arrays and no test donates them (cli/train's donation is on a
+    TrainState built per test)."""
+    from camouflaged_vlm_tpu.factory import init_cascade_params, make_bank_inputs
+    from camouflaged_vlm_tpu.models import CascadeConfig, OVCOSCascade
+
+    cfg = CascadeConfig.tiny()
+    model = OVCOSCascade(cfg)
+    bank = make_bank_inputs(cfg, ["cat", "owl"])
+    params = init_cascade_params(model, cfg, bank)
+    return cfg, model, bank, params

@@ -39,12 +39,9 @@ def _flatten(tree, prefix=""):
 
 
 @pytest.fixture(scope="module")
-def tiny_setup():
-    cfg = CascadeConfig.tiny()
-    model = OVCOSCascade(cfg)
-    bank = make_bank_inputs(cfg, ["cat", "owl"])
-    params = init_cascade_params(model, cfg, bank)
-    return cfg, model, bank, params
+def tiny_setup(tiny_cascade_2class):
+    # shared session fixture (conftest) — test_train builds the same thing
+    return tiny_cascade_2class
 
 
 def test_key_map_covers_every_param(tiny_setup):

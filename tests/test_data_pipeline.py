@@ -171,6 +171,7 @@ def test_transform_parity_with_torchvision(rng):
     np.testing.assert_allclose(got_mask, oracle_mask, atol=1e-6)
 
 
+@pytest.mark.slow  # ~60s; eval e2e also covered by the eval CLI smoke + test_eval_ab
 def test_end_to_end_eval_on_synthetic(synthetic_dataset):
     """Full evaluate() loop with the tiny cascade on the synthetic test split."""
     from camouflaged_vlm_tpu.cli.common import assemble_cascade

@@ -224,6 +224,7 @@ def test_cascade_end_to_end(tiny_cascade):
     assert edges.shape == (B, cfg.inp_size, cfg.inp_size, 1)
 
 
+@pytest.mark.slow  # ~30s double-compile; determinism also pinned by seeded-loader tests
 def test_cascade_jit_deterministic(tiny_cascade):
     cfg, model, params, args = tiny_cascade
     f = jax.jit(lambda p, *a: model.apply(p, *a, method=model.infer_cascade))

@@ -81,12 +81,9 @@ def test_cosine_epoch_schedule_endpoints():
 
 
 @pytest.fixture(scope="module")
-def tiny_train_setup():
-    cfg = CascadeConfig.tiny()
-    model = OVCOSCascade(cfg)
-    bank = make_bank_inputs(cfg, ["cat", "owl"])
-    params = init_cascade_params(model, cfg, bank)
-    return cfg, model, bank, params
+def tiny_train_setup(tiny_cascade_2class):
+    # shared session fixture (conftest) — test_convert builds the same thing
+    return tiny_cascade_2class
 
 
 def test_trainable_mask_matches_reference_freeze_rule(tiny_train_setup):
