@@ -93,6 +93,57 @@ def init_cascade_params(model: OVCOSCascade, cfg: CascadeConfig, bank, batch: in
     )
 
 
+def fast_init_cascade_params(
+    model: OVCOSCascade, cfg: CascadeConfig, bank, batch: int = 1,
+    seed: int = 0, scale: float = 0.02,
+):
+    """Random cascade params WITHOUT compiling the model's init program.
+
+    `init_cascade_params` jit-compiles flax's init — which traces the whole
+    cascade forward — purely to produce parameter tensors; over the
+    remote-compile tunnel that compile costs ~113 s per process (measured,
+    bench.py phase breadcrumbs), charged to every bench subprocess. Here
+    `jax.eval_shape` derives the exact param tree (shapes/dtypes/structure)
+    with zero compilation, and ONE trivially-compiled elementwise program
+    fills every float leaf on-device with a bounded deterministic hash
+    (sin of a scaled iota, amplitude `scale`; zeros for non-floats). A
+    per-leaf threefry fill was tried first and compiled SLOWER than the
+    model init itself (235 s vs 113 — five hundred RNG subcomputations);
+    iota+sin is plain elementwise HLO and compiles in seconds.
+
+    Values differ from flax's per-module initializers, so use this only
+    where param VALUES are irrelevant — throughput benchmarking on random
+    weights (TPU dense compute is value-independent). Anything that checks
+    numerics against initialization semantics keeps `init_cascade_params`;
+    real deployments load checkpoints.
+    """
+    import math
+
+    inp, cimg, cmask = make_example_inputs(cfg, batch, seed)
+    shapes = jax.eval_shape(
+        lambda key, *a: model.init(key, *a, method=model.infer_cascade),
+        jax.random.PRNGKey(seed), inp, cimg, cmask,
+        bank["prefix"], bank["suffix"], bank["eot_indices"],
+        bank["bank_features"],
+    )
+    flat, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def _fill():
+        leaves = []
+        for i, sd in enumerate(flat):
+            if jnp.issubdtype(sd.dtype, jnp.floating):
+                n = math.prod(sd.shape) if sd.shape else 1
+                x = jax.lax.iota(jnp.float32, n)
+                x = jnp.sin(x * 12.9898 + (seed * 997 + i) * 78.233) * scale
+                leaves.append(x.reshape(sd.shape).astype(sd.dtype))
+            else:
+                leaves.append(jnp.zeros(sd.shape, sd.dtype))
+        return leaves
+
+    return jax.tree.unflatten(treedef, _fill())
+
+
 @functools.lru_cache(maxsize=8)
 def _rel_table_builder(enc_cfg):
     """One jitted table builder per encoder config (frozen dataclass key).

@@ -157,3 +157,34 @@ def test_all_failed_exits_nonzero(bench, capsys, monkeypatch):
     assert e.value.code == 1
     lines = _metric_lines(capsys)
     assert any("error" in l for l in lines)
+
+
+def test_fast_init_matches_real_init_tree(tiny_cascade_2class):
+    """`factory.fast_init_cascade_params` (bench.py's default since round 5:
+    skips the ~113s model-init compile per subprocess) must produce EXACTLY
+    the real init's tree — structure, shapes, dtypes — and params the fused
+    inference program actually runs on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from camouflaged_vlm_tpu.factory import fast_init_cascade_params
+
+    cfg, model, bank, real = tiny_cascade_2class
+    fast = fast_init_cascade_params(model, cfg, bank)
+    real_flat = jax.tree_util.tree_flatten_with_path(real)
+    fast_flat = jax.tree_util.tree_flatten_with_path(fast)
+    assert real_flat[1] == fast_flat[1]  # identical treedef
+    for (pr, lr), (pf, lf) in zip(real_flat[0], fast_flat[0]):
+        assert pr == pf
+        assert lr.shape == lf.shape and lr.dtype == lf.dtype, (pr, lr, lf)
+
+    from camouflaged_vlm_tpu.factory import make_example_inputs
+
+    inp, cimg, cmask = make_example_inputs(cfg, batch=1)
+    probs, pred, score = model.apply(
+        fast, inp, cimg, cmask, bank["prefix"], bank["suffix"],
+        bank["eot_indices"], bank["bank_features"], method=model.infer_cascade,
+    )
+    assert np.all(np.isfinite(np.asarray(probs, np.float32)))
+    assert np.all(np.isfinite(np.asarray(score, np.float32)))
