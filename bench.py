@@ -293,13 +293,16 @@ def main():
 
     for B in SWEEP:
         run_batch(B)
-    # One retry pass for transiently-failed batches (the tunnel occasionally
-    # drops a transfer mid-run — observed once in the round-4 validation
-    # sweep) while budget remains. Timed-out batches are NOT retried: a
-    # compile that blew the budget once will blow it again.
-    for B in [b for b in SWEEP
-              if str(per_batch.get(b, "")).startswith("failed: rc=")]:
-        run_batch(B)
+        # Retry a transiently-failed batch IMMEDIATELY (the tunnel
+        # occasionally drops a transfer mid-run — observed in the round-4
+        # and round-5 validation sweeps), BEFORE the next sweep batch can
+        # consume the budget: with an end-of-sweep retry pass, a b1
+        # transfer drop let b32 eat the remaining budget and b1's retry
+        # arrived to nothing (round-5 validation). Timed-out batches are
+        # NOT retried: a compile that blew the budget once will blow it
+        # again.
+        if str(per_batch.get(B, "")).startswith("failed: rc="):
+            run_batch(B)
 
     print(json.dumps({"per_batch": per_batch}), flush=True)
     if best_b == 0:

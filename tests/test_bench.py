@@ -73,7 +73,10 @@ def test_transient_failure_retried_timeout_not(bench, capsys, monkeypatch):
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     bench.main()
-    assert calls.count(32) == 2 and calls.count(1) == 1
+    # the transient rc-failure retries IMMEDIATELY (before any later sweep
+    # batch can consume the budget — round-5 validation lesson), the
+    # timeout is never retried
+    assert calls == [8, 1, 32, 32]
     lines = _metric_lines(capsys)
     assert lines[-1]["value"] == 20.8  # retry recovered the best batch
     per_batch = next(l for l in lines if "per_batch" in l)["per_batch"]
